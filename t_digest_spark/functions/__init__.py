@@ -1,0 +1,76 @@
+"""Scalar query functions over digest rows, exposed as Arrow-batched pandas UDFs.
+
+Each UDF takes the five digest columns (means, weights, dmin, dmax, count) and
+computes the reference query contract (quantile MergingDigest.java:704-790, cdf
+:566-702, trimmed mean derived per SURVEY.md §2.3). Digest rows are one-per-group
+(small), so the per-row Python inside the UDF iterates over *groups*, not data
+rows — the heavy lifting already happened in the vectorized aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from t_digest_spark.serde import digest_from_cells
+
+_DIGEST_COLS = ("means", "weights", "dmin", "dmax")
+
+
+def _iter_digests(means, weights, dmin, dmax, delta, scale):
+    for m, w, lo, hi in zip(means, weights, dmin, dmax):
+        yield digest_from_cells(m, w, lo, hi, delta, scale)
+
+
+def quantile_udf(q: float, delta: float = 100.0, scale: str = "k2"):
+    @pandas_udf("double")
+    def _q(means: pd.Series, weights: pd.Series, dmin: pd.Series, dmax: pd.Series) -> pd.Series:
+        return pd.Series([d.quantile(q) for d in _iter_digests(means, weights, dmin, dmax, delta, scale)])
+    return _q
+
+
+def quantiles_udf(qs: Sequence[float], delta: float = 100.0, scale: str = "k2"):
+    qs = [float(q) for q in qs]
+
+    @pandas_udf("array<double>")
+    def _qs(means: pd.Series, weights: pd.Series, dmin: pd.Series, dmax: pd.Series) -> pd.Series:
+        return pd.Series([d.quantiles(qs)
+                          for d in _iter_digests(means, weights, dmin, dmax, delta, scale)])
+    return _qs
+
+
+def cdf_udf(x: float, delta: float = 100.0, scale: str = "k2"):
+    @pandas_udf("double")
+    def _c(means: pd.Series, weights: pd.Series, dmin: pd.Series, dmax: pd.Series) -> pd.Series:
+        return pd.Series([d.cdf(x) for d in _iter_digests(means, weights, dmin, dmax, delta, scale)])
+    return _c
+
+
+def trimmed_mean_udf(lo: float, hi: float, delta: float = 100.0, scale: str = "k2"):
+    @pandas_udf("double")
+    def _t(means: pd.Series, weights: pd.Series, dmin: pd.Series, dmax: pd.Series) -> pd.Series:
+        return pd.Series([d.trimmed_mean(lo, hi)
+                          for d in _iter_digests(means, weights, dmin, dmax, delta, scale)])
+    return _t
+
+
+def with_quantiles(digest_df, quantiles: dict, delta: float = 100.0,
+                   scale: str = "k2", drop_digest: bool = True):
+    """Attach named quantile columns, e.g. {"p50": 0.5, "p99": 0.99}."""
+    cols = [F.col(c) for c in _DIGEST_COLS]
+    out = digest_df
+    for name, q in quantiles.items():
+        out = out.withColumn(name, quantile_udf(q, delta, scale)(*cols))
+    if drop_digest:
+        out = out.drop("means", "weights")
+    return out
+
+
+def centroid_count_col() -> Column:
+    return F.size("means").alias("centroid_count")

@@ -1,0 +1,5 @@
+from t_digest_spark.operators.aggregation import (tdigest_aggregate,
+                                                  tdigest_merge,
+                                                  tdigest_partial_build)
+
+__all__ = ["tdigest_aggregate", "tdigest_merge", "tdigest_partial_build"]

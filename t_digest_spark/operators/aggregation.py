@@ -1,0 +1,172 @@
+"""Distributed t-digest aggregation: the partial+final mergeable-UDAF pattern.
+
+Scale design (SURVEY.md §4, BASELINE.json north rule):
+
+  stage 1  ``tdigest_partial_build`` — ``mapInPandas`` over the *existing* input
+           partitioning. Each task folds its Arrow batches into one digest per
+           group key (map-side combine). NO shuffle of raw rows: at 100 TB the
+           only thing crossing the wire is (#partitions x #groups) digest rows
+           of ~2-4 KB each. This is the Spark restatement of the reference's
+           partial-digest build (MegaMergeTest.java:37-106; TDigest.java:42
+           "easy to adapt for use with map-reduce").
+
+  stage 2  ``tdigest_merge`` — ``groupBy(keys).applyInPandas``: concatenate every
+           partial's centroids and run ONE merge pass, exactly the reference's
+           bulk path add(List<TDigest>) (MergingDigest.java:313-357). Skew note:
+           after stage 1 each group has at most #input-partitions rows, so key
+           skew in the *raw data* cannot skew this shuffle; for extreme partition
+           counts a salted intermediate level (``salt_levels``) keeps per-task
+           fan-in bounded — correctness is free because digests are mergeable
+           (merge associativity, quality/AccuracyTest.java:29-176).
+
+Queries on the result rows are scalar pandas UDFs over the digest columns
+(t_digest_spark.functions). Never per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from t_digest_spark.core import TDigest, merge_arrays
+from t_digest_spark.scales import get_scale
+from t_digest_spark.serde import DIGEST_FIELDS, digest_schema, digest_to_cells
+
+_GLOBAL_KEY = "__tdigest_global__"
+
+
+def _out_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
+    by_name = {f.name: f for f in df.schema.fields}
+    return digest_schema([by_name[c] for c in group_cols])
+
+
+def tdigest_partial_build(df: DataFrame, value_col: str,
+                          group_cols: Optional[Sequence[str]] = None,
+                          delta: float = 100.0, scale: str = "k2",
+                          weight_col: Optional[str] = None) -> DataFrame:
+    """One digest row per (input partition, group): map-side partial aggregation.
+
+    Nulls and NaNs in ``value_col`` are ignored (SQL aggregate semantics; the
+    reference's add() *rejects* NaN, MergingDigest.java:262-264 — here the
+    filter happens before the digest sees the data).
+    """
+    group_cols = list(group_cols or [])
+    cols = group_cols + [value_col] + ([weight_col] if weight_col else [])
+    proj = df.select(*cols).where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
+    schema = _out_schema(proj, group_cols)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests = {}
+        keyvals = {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            wts = (pdf[weight_col].to_numpy(dtype=np.float64, copy=False)
+                   if weight_col else None)
+            if group_cols:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[group_cols])
+                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                for gi in range(len(uniques)):
+                    mask = codes == gi
+                    key = uniques[gi]
+                    d = digests.get(key)
+                    if d is None:
+                        d = digests[key] = TDigest(delta=delta, scale=scale)
+                        keyvals[key] = key if len(group_cols) > 1 else (key,)
+                    d.add_values(vals[mask], wts[mask] if wts is not None else None)
+            else:
+                d = digests.get(_GLOBAL_KEY)
+                if d is None:
+                    d = digests[_GLOBAL_KEY] = TDigest(delta=delta, scale=scale)
+                    keyvals[_GLOBAL_KEY] = ()
+                d.add_values(vals, wts)
+        if digests:
+            rows = []
+            for key, d in digests.items():
+                rows.append(tuple(keyvals[key]) + digest_to_cells(d))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return proj.mapInPandas(build, schema)
+
+
+def _merge_group(pdf: pd.DataFrame, group_cols: List[str], delta: float,
+                 scale_name: str, compress: bool) -> pd.DataFrame:
+    """Concat all partial centroids for one group, single merge pass
+    (the reference bulk-merge shape, MergingDigest.java:313-357)."""
+    ms = [np.asarray(a, dtype=np.float64) for a in pdf["means"] if len(a)]
+    ws = [np.asarray(a, dtype=np.float64) for a in pdf["weights"] if len(a)]
+    scale = get_scale(scale_name)
+    if ms:
+        m = np.concatenate(ms)
+        w = np.concatenate(ws)
+        total = float(w.sum())
+        d = TDigest(delta=delta, scale=scale_name)
+        d.means, d.weights = merge_arrays(m, w, total, d._internal_delta, scale)
+        d.total = total
+        d.min = float(np.nanmin(pdf["dmin"].to_numpy(dtype=np.float64)))
+        d.max = float(np.nanmax(pdf["dmax"].to_numpy(dtype=np.float64)))
+        if compress:
+            d.compress()
+    else:
+        d = TDigest(delta=delta, scale=scale_name)
+    cells = digest_to_cells(d)
+    head = [pdf[c].iloc[0] for c in group_cols]
+    return pd.DataFrame([tuple(head) + cells],
+                        columns=group_cols + [f.name for f in DIGEST_FIELDS])
+
+
+def tdigest_merge(partials: DataFrame, group_cols: Optional[Sequence[str]] = None,
+                  delta: float = 100.0, scale: str = "k2",
+                  salt_levels: int = 0, compress: bool = True) -> DataFrame:
+    """Merge partial-digest rows down to one digest row per group.
+
+    ``salt_levels > 0`` inserts intermediate salted merge rounds (fan-in control
+    for jobs with very many input partitions); digest mergeability makes the
+    extra level correctness-free (merge associativity, SURVEY.md §2.4).
+    """
+    group_cols = list(group_cols or [])
+    df = partials
+    added_key = False
+    if not group_cols:
+        df = df.withColumn(_GLOBAL_KEY, F.lit(1))
+        group_cols = [_GLOBAL_KEY]
+        added_key = True
+    schema = _out_schema(df, group_cols)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_group(pdf, group_cols, delta, scale, compress=compress)
+
+    for level in range(salt_levels):
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols], F.monotonically_increasing_id()), F.lit(64))
+        salted = df.withColumn("__salt__", salt)
+        salted_schema = _out_schema(salted.drop("__salt__"), group_cols)
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _merge_group(pdf, group_cols, delta, scale, compress=False)
+
+        df = (salted.groupBy(*group_cols, "__salt__")
+              .applyInPandas(merge_salted, salted_schema))
+
+    out = df.groupBy(*group_cols).applyInPandas(merge_fn, schema)
+    if added_key:
+        out = out.drop(_GLOBAL_KEY)
+    return out
+
+
+def tdigest_aggregate(df: DataFrame, value_col: str,
+                      group_cols: Optional[Sequence[str]] = None,
+                      delta: float = 100.0, scale: str = "k2",
+                      weight_col: Optional[str] = None,
+                      salt_levels: int = 0, compress: bool = True) -> DataFrame:
+    """End-to-end: raw rows -> one digest row per group (partial + final)."""
+    partials = tdigest_partial_build(df, value_col, group_cols, delta=delta,
+                                     scale=scale, weight_col=weight_col)
+    return tdigest_merge(partials, group_cols, delta=delta, scale=scale,
+                         salt_levels=salt_levels, compress=compress)

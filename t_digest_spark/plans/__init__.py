@@ -1,0 +1,36 @@
+"""SparkSession builders tuned for the sketch workload.
+
+Scale posture (SURVEY.md §4): AQE on (runtime shuffle coalescing + skew-join
+splitting), Arrow enabled for every pandas-UDF boundary, shuffle partitions
+sized to the core count (digest rows are tiny — a handful of KB per group —
+so the default 200 would produce mostly-empty reducers at test scale, while a
+real 1000-executor run should raise it to ~2-4x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "t-digest-spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch_size: int = 65536) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus if str(cpus).isdigit() else 32)
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,147 @@
+"""Integration tests: distributed digest aggregation on a live SparkSession."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from t_digest_spark.core import Dist, TDigest
+from t_digest_spark.functions import quantile_udf, trimmed_mean_udf, with_quantiles
+from t_digest_spark.operators import (tdigest_aggregate, tdigest_merge,
+                                      tdigest_partial_build)
+from t_digest_spark.serde import digest_from_cells
+from t_digest_spark.sources.synthetic import generate_pdf, source_code_table
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from t_digest_spark.plans import get_spark
+    s = get_spark("tdigest-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def code_df(spark):
+    return source_code_table(spark, 20_000, partitions=8).cache()
+
+
+def test_source_table_deterministic():
+    # per-row sha256(content) invariant (BASELINE.json): generation is a pure
+    # function of row id, independent of partitioning
+    a = generate_pdf(np.arange(100))
+    b = generate_pdf(np.arange(100))
+    ha = [hashlib.sha256(c.encode()).hexdigest() for c in a["content"]]
+    hb = [hashlib.sha256(c.encode()).hexdigest() for c in b["content"]]
+    assert ha == hb
+    # chunked generation == whole generation
+    c = pd.concat([generate_pdf(np.arange(0, 50)), generate_pdf(np.arange(50, 100))],
+                  ignore_index=True)
+    assert list(c["content"]) == list(a["content"])
+
+
+def test_source_table_skew(code_df):
+    top = (code_df.groupBy("repo").count().orderBy(F.desc("count")).limit(2)
+           .agg(F.sum("count")).collect()[0][0])
+    assert top / 20_000 > 0.25  # ~30% in 2 hot repos
+
+
+def test_global_aggregate_matches_exact(spark, code_df):
+    pdf = code_df.select(F.length("content").alias("x")).toPandas()
+    data = pdf["x"].to_numpy(dtype=np.float64)
+    dig = tdigest_aggregate(
+        code_df.select(F.length("content").cast("double").alias("x")), "x")
+    row = dig.collect()[0]
+    d = digest_from_cells(row["means"], row["weights"], row["dmin"], row["dmax"], 100.0, "k2")
+    assert d.total == pytest.approx(data.size)
+    assert row["dmin"] == data.min() and row["dmax"] == data.max()
+    for q in [0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999]:
+        rank_err = abs(Dist.cdf(d.quantile(q), data) - q)
+        assert rank_err < 0.015, (q, rank_err)  # merge bound, BASELINE.md
+
+
+def test_grouped_aggregate_per_lang(spark, code_df):
+    df = code_df.select("lang", F.length("content").cast("double").alias("x"))
+    dig = tdigest_aggregate(df, "x", ["lang"])
+    out = with_quantiles(dig, {"p50": 0.5, "p99": 0.99}).toPandas().set_index("lang")
+    exact = df.toPandas()
+    assert set(out.index) == set(exact["lang"].unique())
+    for lang, grp in exact.groupby("lang"):
+        data = grp["x"].to_numpy()
+        est = out.loc[lang, "p50"]
+        assert abs(Dist.cdf(est, data) - 0.5) < 0.02, lang
+        assert out.loc[lang, "count"] == pytest.approx(len(data))
+
+
+def test_partition_invariance(spark):
+    # same data, different partitioning -> same accuracy (tolerances, not bits)
+    vals = np.random.default_rng(3).normal(100, 15, 50_000)
+    pdf = pd.DataFrame({"x": vals})
+    results = {}
+    for parts in (1, 4, 16):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        row = tdigest_aggregate(df, "x").collect()[0]
+        d = digest_from_cells(row["means"], row["weights"], row["dmin"], row["dmax"], 100.0, "k2")
+        results[parts] = d
+    for parts, d in results.items():
+        assert d.total == pytest.approx(50_000)
+        for q in [0.01, 0.5, 0.99]:
+            assert abs(Dist.cdf(d.quantile(q), vals) - q) < 0.015, (parts, q)
+
+
+def test_salted_merge_levels(spark):
+    vals = np.random.default_rng(4).uniform(0, 1, 20_000)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(16)
+    partials = tdigest_partial_build(df, "x")
+    merged = tdigest_merge(partials, salt_levels=1).collect()[0]
+    d = digest_from_cells(merged["means"], merged["weights"], merged["dmin"],
+                          merged["dmax"], 100.0, "k2")
+    assert d.total == pytest.approx(20_000)
+    assert abs(Dist.cdf(d.quantile(0.5), vals) - 0.5) < 0.015
+
+
+def test_weighted_aggregate(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "w": [1.0, 1.0, 98.0]})
+    row = tdigest_aggregate(spark.createDataFrame(pdf), "x", weight_col="w").collect()[0]
+    d = digest_from_cells(row["means"], row["weights"], row["dmin"], row["dmax"], 100.0, "k2")
+    assert d.total == pytest.approx(100.0)
+    # the heavy centroid at 3 (w=98) is not a singleton, so the digest
+    # interpolates into it (reference contract, MergingDigest.java:752-777)
+    assert d.quantile(0.5) == pytest.approx(3.0, abs=0.05)
+    assert d.quantile(0.9) == 3.0
+
+
+def test_nulls_and_nans_ignored(spark):
+    pdf = pd.DataFrame({"x": [1.0, None, float("nan"), 2.0, 3.0]})
+    row = tdigest_aggregate(spark.createDataFrame(pdf), "x").collect()[0]
+    assert row["count"] == pytest.approx(3.0)
+
+
+def test_query_udfs(spark):
+    vals = np.random.default_rng(5).uniform(0, 100, 30_000)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(4)
+    dig = tdigest_aggregate(df, "x")
+    out = dig.select(
+        quantile_udf(0.5)("means", "weights", "dmin", "dmax").alias("p50"),
+        trimmed_mean_udf(0.25, 0.75)("means", "weights", "dmin", "dmax").alias("iqm"),
+    ).collect()[0]
+    assert abs(Dist.cdf(out["p50"], vals) - 0.5) < 0.015
+    srt = np.sort(vals)
+    exact_iqm = srt[int(0.25 * len(srt)):int(0.75 * len(srt))].mean()
+    assert out["iqm"] == pytest.approx(exact_iqm, rel=0.02)
+
+
+def test_lineitem_digest_vs_exact(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    out = with_quantiles(dig, {"p50": 0.5}).toPandas().set_index("l_returnflag")
+    exact = li.select("l_returnflag", "l_extendedprice").toPandas()
+    for flag, grp in exact.groupby("l_returnflag"):
+        data = grp["l_extendedprice"].to_numpy()
+        assert abs(Dist.cdf(out.loc[flag, "p50"], data) - 0.5) < 0.02
+        assert out.loc[flag, "dmin"] == data.min()
+        assert out.loc[flag, "dmax"] == data.max()
