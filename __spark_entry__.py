@@ -1,38 +1,502 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() entries fall in two classes:
+  * oracle-checked — deterministic outputs (exact aggregates, order
+    statistics from all-singleton digests, integer/string math) with a
+    DuckDB oracle in oracle_sql().
+  * rows-only — sketch *estimates* (t-digest quantiles/cdf/trimmed-mean at
+    realistic compression) and hash-seeded approximate operators
+    (minhash/simhash/LSH); their accuracy contracts are enforced in
+    tests/ (pytest) against exact oracles with the reference's tolerances
+    instead of SQL equality.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from t_digest_spark.functions import (cdf_udf, quantile_udf, trimmed_mean_udf)
+from t_digest_spark.operators.aggregation import tdigest_aggregate
+from t_digest_spark.operators.dedup import (dedup_exact, minhash_lsh_candidates,
+                                            ngram_jaccard_pairs,
+                                            simhash_near_dups)
+from t_digest_spark.operators.multimodal import extract_features, synthetic_media
+from t_digest_spark.operators.similarity import (brute_force_topk,
+                                                 embedding_near_dups, lsh_topk,
+                                                 with_norm)
+from t_digest_spark.operators.text import LANG_MARKERS, lang_id, token_count
+from t_digest_spark.sources.synthetic import source_code_table
+
+_D = ("means", "weights", "dmin", "dmax")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-lang t-digest of length(text) over documents at sf0.001 —
+    the north-rule shape (content-derived numeric -> mergeable digest ->
+    quantile queries)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("x"))
+    dig = tdigest_aggregate(docs, "x", ["lang"], delta=100.0, scale="k2")
+    return dig.select(
+        "lang",
+        F.col("count").alias("n_docs"),
+        F.col("dmin").alias("min_len"),
+        F.col("dmax").alias("max_len"),
+        quantile_udf(0.5)(*_D).alias("p50"),
+        quantile_udf(0.99)(*_D).alias("p99"),
+        quantile_udf(0.999)(*_D).alias("p999"),
+        trimmed_mean_udf(0.05, 0.95)(*_D).alias("trimmed_mean_5_95"),
+    ).orderBy("lang")
+
+
+# ----------------------------------------------------- oracle-checked queries
+
+def q_tdigest_meta_by_flag(spark, sf_dir):
+    """Digest pipeline metadata is EXACT: count/min/max per group come from the
+    digest row itself (TDigest.size/getMin/getMax contract, SURVEY §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    return dig.select(
+        "l_returnflag",
+        F.col("count").cast("long").alias("n_rows"),
+        F.col("dmin").alias("min_price"),
+        F.col("dmax").alias("max_price"),
+    )
+
+
+def q_tdigest_exact_quantiles_orders(spark, sf_dir):
+    """All-singleton regime: with delta >= 2n+10 and scale k0 no centroids ever
+    merge (weight-limit: total*2/delta < 2), so digest quantiles equal the
+    floor-index order statistic (Dist.java:47-60) EXACTLY — a sketch query
+    with a SQL oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    max_n = orders.groupBy("o_orderpriority").count().agg(
+        F.max("count")).collect()[0][0]
+    delta = float(2 * max_n + 10)
+    dig = tdigest_aggregate(orders, "o_totalprice", ["o_orderpriority"],
+                            delta=delta, scale="k0")
+    return dig.select(
+        "o_orderpriority",
+        quantile_udf(0.25, delta, "k0")(*_D).alias("p25"),
+        quantile_udf(0.50, delta, "k0")(*_D).alias("p50"),
+        quantile_udf(0.75, delta, "k0")(*_D).alias("p75"),
+        quantile_udf(0.90, delta, "k0")(*_D).alias("p90"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+filter+agg (Catalyst: pushdown, codegen,
+    partial aggregation). Money math in decimal for engine-exact parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                       ).cast("double").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_top_revenue_nations(spark, sf_dir):
+    """Join pipeline with broadcast dims: orders->customer->nation->region."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_events_stats_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def q_events_top3_per_type(spark, sf_dir):
+    """Window top-k: highest-value events per type, deterministic tiebreak."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("event_type", "rnk", "event_id", "user_id", "value"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over documents unioned with a cloned slice (deterministic
+    duplicates): survivors keep the lowest doc_id per sha256 class."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return dedup_exact(docs.unionByName(clones)).select(
+        "content_sha", "doc_id", "dup_count")
+
+
+def q_ngram_jaccard_near_dups(spark, sf_dir):
+    """Exact 4-gram Jaccard pairs over a bounded slice (pair verification
+    path; the scale path is minhash_lsh_candidates)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, n=4, threshold=0.5)
+
+
+def q_token_counts_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count(docs)
+    joined = tc.join(docs.select("doc_id", "lang"), "doc_id")
+    return (joined.groupBy("lang")
+            .agg(F.sum("ws_tokens").alias("sum_ws_tokens"),
+                 F.sum("bpe_ish_tokens").alias("sum_bpe_tokens"),
+                 F.sum("n_chars_computed").alias("sum_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_quality_by_lang(spark, sf_dir):
+    """Quality features aggregated with one final division (engine-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        c = ((F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit(""))))
+             / F.length(F.lit(f" {w} "))).cast("long")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    per_doc = docs.select("lang", n_chars.alias("nc"), n_tokens.alias("nt"),
+                          stop_hits.alias("sh"))
+    return (per_doc.groupBy("lang")
+            .agg((F.sum("sh") / F.sum("nt")).alias("stopword_ratio"),
+                 (F.sum("nc") / F.sum("nt")).alias("chars_per_token"),
+                 F.sum("nt").alias("total_tokens")))
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Marker-lexicon language id vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    return (pred.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 50 vectors as queries (exact;
+    fold arithmetic matches DuckDB's list_cosine_similarity bit-for-bit)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    emb = with_norm(_t(spark, sf_dir, "embeddings"))
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("_norm").alias("min_norm"),
+                 F.max("_norm").alias("max_norm")))
+
+
+# ------------------------------------------------------- rows-only (sketch)
+
+def q_tdigest_price_quantiles(spark, sf_dir):
+    """Flagship estimates: p50/p99/p999 + IQ-trimmed mean per returnflag at
+    delta=100 (accuracy gated in pytest vs the merge bound, BASELINE.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    return dig.select(
+        "l_returnflag",
+        quantile_udf(0.5)(*_D).alias("p50"),
+        quantile_udf(0.99)(*_D).alias("p99"),
+        quantile_udf(0.999)(*_D).alias("p999"),
+        trimmed_mean_udf(0.25, 0.75)(*_D).alias("iq_mean"),
+        cdf_udf(30000.0)(*_D).alias("cdf_30k"),
+    )
+
+
+def q_tdigest_events_global(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dig = tdigest_aggregate(ev, "value", None, delta=200.0, scale="k2")
+    return dig.select(
+        F.col("count").alias("n"),
+        quantile_udf(0.001, 200.0)(*_D).alias("p001"),
+        quantile_udf(0.5, 200.0)(*_D).alias("p50"),
+        quantile_udf(0.999, 200.0)(*_D).alias("p999"),
+    )
+
+
+def q_source_table_quantiles(spark, sf_dir):
+    """North-rule input shape: synthetic (repo,path,commit,lang,content) table,
+    digest of length(content) per lang with Zipf-skewed repos upstream."""
+    n = 20_000 if "0.001" in sf_dir else 100_000
+    code = source_code_table(spark, n, partitions=8)
+    dig = tdigest_aggregate(
+        code.select("lang", F.length("content").cast("double").alias("x")),
+        "x", ["lang"])
+    return dig.select("lang", F.col("count").alias("n_files"),
+                      quantile_udf(0.5)(*_D).alias("p50_len"),
+                      quantile_udf(0.99)(*_D).alias("p99_len"))
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=128, bands=16, n=5)
+    return cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash_near_dups(docs, max_hamming=3).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"))
+
+
+def q_lsh_topk_recall(spark, sf_dir):
+    """Scale-path ANN: LSH-bucketed top-5; reported with its own bucket stats
+    (recall vs brute force asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = lsh_topk(emb, k=5, dim=64, n_planes=8)
+    return approx.agg(F.count(F.lit(1)).alias("n_results"),
+                      F.countDistinct("query_id").alias("n_queries"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.8, dim=64, n_planes=6).agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: synthetic media -> hash-fake features ->
+    per-kind stats (decode itself stubbed; Spark plumbing real)."""
+    ids = spark.range(0, 2000)
+    media = synthetic_media(ids, kind="image")
+    feats = extract_features(media, dim=16, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("feat_norm").alias("min_norm"),
+        F.max("feat_norm").alias("max_norm"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-checked
+        "tdigest_meta_by_flag": q_tdigest_meta_by_flag,
+        "tdigest_exact_quantiles_orders": q_tdigest_exact_quantiles_orders,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_nations": q_top_revenue_nations,
+        "events_stats_by_type": q_events_stats_by_type,
+        "events_top3_per_type": q_events_top3_per_type,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
+        "token_counts_by_lang": q_token_counts_by_lang,
+        "quality_by_lang": q_quality_by_lang,
+        "lang_id_confusion": q_lang_id_confusion,
+        "similarity_topk": q_similarity_topk,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        # rows-only (sketch estimates / seeded approximations)
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "tdigest_events_global": q_tdigest_events_global,
+        "source_table_quantiles": q_source_table_quantiles,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_topk_recall": q_lsh_topk_recall,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_terms = "".join(
+        f" - (length(replace(padded, ' {w} ', '')))" for w in LANG_MARKERS["en"])
+    stop_hits = ("(" + " + ".join(
+        f"cast((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2} as bigint)"
+        for w in LANG_MARKERS["en"]) + ")")
+
+    def lang_scores(langs):
+        cols = []
+        for lg in langs:
+            expr = " + ".join(
+                f"cast((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2} as bigint)"
+                for w in LANG_MARKERS[lg])
+            cols.append(f"({expr}) AS score_{lg}")
+        return ", ".join(cols)
+
+    langs = sorted(LANG_MARKERS)
+    pred_case = ("CASE " + " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs) + " END")
+
+    return {
+        "tdigest_meta_by_flag": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "tdigest_exact_quantiles_orders": """
+            SELECT o_orderpriority,
+                   srt[cast(floor(0.25 * n) as int) + 1] AS p25,
+                   srt[cast(floor(0.50 * n) as int) + 1] AS p50,
+                   srt[cast(floor(0.75 * n) as int) + 1] AS p75,
+                   srt[cast(floor(0.90 * n) as int) + 1] AS p90
+            FROM (SELECT o_orderpriority, list_sort(list(o_totalprice)) AS srt,
+                         count(*) AS n
+                  FROM orders GROUP BY o_orderpriority)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))
+                            * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))))
+                        as double) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_nations": """
+            SELECT r_name, n_name,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "events_stats_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_top3_per_type": """
+            SELECT event_type, rnk, event_id, user_id, value
+            FROM (SELECT event_type, event_id, user_id, value,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value DESC, event_id ASC) AS rnk
+                  FROM events)
+            WHERE rnk <= 3
+        """,
+        "dedup_exact": """
+            WITH unioned AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+            )
+            SELECT sha256(text) AS content_sha,
+                   min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM unioned GROUP BY sha256(text)
+        """,
+        "ngram_jaccard_near_dups": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            shingles AS (
+                SELECT DISTINCT doc_id, substr(text, gs, 4) AS shingle
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text) - 3, 1))) AS gs
+                      FROM docs)
+                WHERE length(substr(text, gs, 4)) = 4
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM shingles a JOIN shingles b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   c / (sa.sz + sb.sz - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.5
+        """,
+        "token_counts_by_lang": r"""
+            SELECT lang,
+                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_ws_tokens,
+                   sum(len(regexp_split_to_array(trim(text), '[^\w]+'))
+                       + length(regexp_replace(text, '[\w\s]', '', 'g'))) AS sum_bpe_tokens,
+                   sum(length(text)) AS sum_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_by_lang": rf"""
+            WITH per_doc AS (
+                SELECT lang,
+                       length(text) AS nc,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       {stop_hits} AS sh
+                FROM (SELECT lang, text, ' ' || text || ' ' AS padded FROM documents)
+            )
+            SELECT lang,
+                   sum(sh) / sum(nt) AS stopword_ratio,
+                   sum(nc) / sum(nt) AS chars_per_token,
+                   sum(nt) AS total_tokens
+            FROM per_doc GROUP BY lang
+        """,
+        "lang_id_confusion": f"""
+            WITH scored AS (
+                SELECT doc_id, lang, {lang_scores(langs)}
+                FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents)
+            ),
+            best AS (
+                SELECT doc_id, lang,
+                       greatest({", ".join("score_" + lg for lg in langs)}) AS best,
+                       {", ".join("score_" + lg for lg in langs)}
+                FROM scored
+            )
+            SELECT lang, {pred_case} AS pred_lang, count(*) AS n
+            FROM best GROUP BY lang, pred_lang
+        """,
+        "similarity_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       list_cosine_similarity(c.embedding::double[],
+                                              q.embedding::double[]) AS cosine
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 50
+            )
+            SELECT query_id, corpus_id, rank, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, corpus_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_norm_stats": """
+            SELECT label, count(*) AS n_vecs,
+                   min(sqrt(list_dot_product(embedding::double[], embedding::double[]))) AS min_norm,
+                   max(sqrt(list_dot_product(embedding::double[], embedding::double[]))) AS max_norm
+            FROM embeddings GROUP BY label
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from t_digest_spark.plans import get_spark
+    s = get_spark("entry-smoke", master="local[4]")
+    entry(s).show()
+    s.stop()

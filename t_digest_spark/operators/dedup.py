@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All Spark-first: exact dedup and n-gram Jaccard are pure DataFrame algebra
+(Catalyst gets pushdown/codegen); MinHash-LSH and SimHash use built-in
+``xxhash64`` (JVM-side) for hashing with only the signature fold in a
+vectorized pandas UDF. No per-row Python.
+
+Scale notes:
+  * exact dedup: one shuffle on the content hash; survivors picked with a
+    min() aggregate, not a window, so map-side partial aggregation applies.
+  * minhash-LSH: cost is O(rows x shingles) map-side + a shuffle keyed on
+    (band, bucket); buckets are tiny so the candidate join never explodes the
+    way an all-pairs join would. This is THE 100 TB near-dup path.
+  * n-gram Jaccard: exact pair scoring; the shingle join is quadratic in
+    bucket size, so use it to *verify* LSH candidates, not to scan the world.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact content (sha256) duplicate class.
+
+    Returns (id, content_hash, dup_count) for survivors.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("content_sha")
+    return (df.select(F.col(id_col), h)
+            .groupBy("content_sha")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Distinct character n-grams per doc — JVM-side only (sequence + substring)."""
+    return (df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            )).alias("shingle"))
+            .where(F.length("shingle") == n)
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        candidates: Optional[DataFrame] = None) -> DataFrame:
+    """Exact Jaccard over character n-gram sets for all pairs sharing >=1
+    shingle (or only ``candidates`` (id_a, id_b) pairs when given).
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from a self-join on
+    shingle — expressible in plain SQL, so it has a DuckDB oracle.
+    """
+    sh = char_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+           .withColumn("jaccard",
+                       F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def _minhash_sig_udf(num_hashes: int, n: int):
+    """Vectorized minhash over character n-grams (splitmix64 per seed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mults = ((np.arange(1, num_hashes + 1, dtype=np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+                if b.size < n:
+                    sigs.append(np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64))
+                    continue
+                # rolling n-byte shingle codes
+                code = np.zeros(b.size - n + 1, dtype=np.uint64)
+                for k in range(n):
+                    code = code * np.uint64(257) + b[k:b.size - n + 1 + k].astype(np.uint64)
+                code = np.unique(code)
+                # one splitmix-style mix per hash function: h_i(s) = mix(s * m_i)
+                z = code[:, None] * mults[None, :]
+                z ^= z >> np.uint64(33)
+                z *= np.uint64(0xFF51AFD7ED558CCD)
+                z ^= z >> np.uint64(33)
+                sigs.append((z.min(axis=0) >> np.uint64(1)).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "sig": [s for s in sigs]})
+    return fn
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, n: int = 5) -> DataFrame:
+    """Banded MinHash-LSH: docs sharing any band bucket become candidate pairs.
+
+    num_hashes/bands controls the similarity threshold ~ (1/bands)^(bands/num_hashes).
+    Returns distinct (id_a, id_b) candidate pairs.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sigs = base.mapInPandas(_minhash_sig_udf(num_hashes, n),
+                            "doc_id long, sig array<long>")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda bi: F.xxhash64(F.slice(
+                            "sig", bi * rows_per_band + 1, rows_per_band)))
+        ).alias("band", "bucket"))
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("id_a"),
+                    F.col("r.doc_id").alias("id_b"))
+            .distinct())
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, entirely JVM-side:
+    explode tokens -> xxhash64 -> per-bit majority vote via bitwise ops."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")).where(F.length("tok") > 0)
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(63)  # skip the sign bit
+    ]
+    votes = h.groupBy("doc_id").agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dups: pairs within ``max_hamming`` bits of SimHash.
+    Blocked on 16-bit chunks (a pair within hamming<=3 of 63 bits must agree
+    exactly on at least one of four 16-bit blocks — pigeonhole)."""
+    s = simhash(df, text_col, id_col)
+    blocks = s.select("doc_id", "simhash", F.posexplode(F.array(*[
+        (F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).cast("int")
+        for i in range(4)])).alias("blk", "blk_val"))
+    l = blocks.alias("l")
+    r = blocks.alias("r")
+    pairs = (l.join(r, (F.col("l.blk") == F.col("r.blk"))
+                    & (F.col("l.blk_val") == F.col("r.blk_val"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"),
+                     F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

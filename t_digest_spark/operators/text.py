@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data curation — all built-in
+pyspark.sql.functions (JVM-side, codegen), no Python in the hot path.
+
+Every formula here is plain ANSI-SQL-expressible so the DuckDB oracle can
+replay it exactly (driver correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic language id
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+
+
+def _count_word(text_col, word: str):
+    # count of whole-word occurrences: pad with spaces, count ' word ' hits
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    needle = f" {word} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / F.length(F.lit(needle))).cast("long")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (words + punctuation marks)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    words = F.size(F.split(F.trim(F.col(text_col)), r"[^\w]+"))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        (words + punct).alias("bpe_ish_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword ratio,
+    mean word length, plus a composite score. Deterministic integer/ratio math."""
+    n_chars = F.length(text_col)
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s一-鿿]", ""))
+    stop_hits = None
+    for w in LANG_MARKERS["en"]:
+        c = _count_word(text_col, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    mean_word_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: argmax over per-language marker hits.
+
+    Ties resolve to the alphabetically-first language (deterministic; same
+    rule in the SQL oracle)."""
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_word(text_col, w)
+            s = c if s is None else s + c
+        score_cols.append(s.alias(f"score_{lang}"))
+    scored = df.select(F.col(id_col), F.col(text_col), *score_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = None
+    for lg in reversed(langs):  # earlier langs win ties -> apply last
+        cond = F.when(F.col(f"score_{lg}") == best, F.lit(lg))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return scored.select(F.col(id_col), pred.alias("pred_lang"),
+                         *[f"score_{lg}" for lg in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content hash + length-64 prefix hash
+    (cheap rolling-window stand-in, all JVM-side)."""
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(text_col).alias("fp_full"),
+        F.xxhash64(F.substring(F.col(text_col), 1, 64)).alias("fp_prefix"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
