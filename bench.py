@@ -1,0 +1,123 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the north-rule evidence (BASELINE.json): flagship digest-build
+throughput in rows/sec and p50/p99/p999 *rank error* of the digest quantiles
+versus the exact order statistic on the same data.
+
+Scaling evidence (two parallelism levels) lives in scripts/scaling_bench.py,
+which reuses run_flagship() here; results are recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def run_flagship(spark, sf_dir: str) -> dict:
+    """Flagship digest job: per-returnflag digest of l_extendedprice over
+    lineitem + global digest over events.value. Returns wall time, input rows,
+    and rank-error of the global digest vs the exact order statistic."""
+    from t_digest_spark.functions import quantile_udf
+    from t_digest_spark.operators.aggregation import tdigest_aggregate
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_rows = li.count() + ev.count()
+
+    t0 = time.perf_counter()
+    d1 = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    r1 = d1.select("l_returnflag",
+                   quantile_udf(0.5)("means", "weights", "dmin", "dmax").alias("p50"),
+                   quantile_udf(0.99)("means", "weights", "dmin", "dmax").alias("p99"),
+                   quantile_udf(0.999)("means", "weights", "dmin", "dmax").alias("p999"),
+                   ).collect()
+    d2 = tdigest_aggregate(ev, "value", None, delta=200.0)
+    r2 = d2.select(quantile_udf(0.5, 200.0)("means", "weights", "dmin", "dmax").alias("p50"),
+                   quantile_udf(0.99, 200.0)("means", "weights", "dmin", "dmax").alias("p99"),
+                   quantile_udf(0.999, 200.0)("means", "weights", "dmin", "dmax").alias("p999"),
+                   ).collect()
+    wall = time.perf_counter() - t0
+
+    # Rank error of the global events digest vs the exact sorted sample
+    # (rank(x_est)/n - q), the metric the north rule names. Bounded collect:
+    # only safe at bench scale; tests enforce the bound at all SFs.
+    rank_err = {}
+    vals = np.sort(np.array(
+        [r.value for r in ev.select("value").collect()], dtype=np.float64))
+    n = len(vals)
+    for label, q, est in (("p50", 0.5, r2[0].p50), ("p99", 0.99, r2[0].p99),
+                          ("p999", 0.999, r2[0].p999)):
+        rank = np.searchsorted(vals, est, side="left")
+        rank_err[label] = abs(rank / n - q)
+    return {"wall_sec": wall, "rows": n_rows,
+            "throughput_rows_per_sec": n_rows / wall,
+            "rank_error": rank_err,
+            "n_groups": len(r1)}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = os.path.basename(sf_dir.rstrip("/"))
+
+    from t_digest_spark.plans import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/Arrow warmup so q1 doesn't pay session startup.
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # a broken query shouldn't zero the whole bench
+            print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = None
+
+    try:
+        flagship = run_flagship(spark, sf_dir)
+    except Exception as e:
+        print(f"bench: flagship FAILED: {e}", file=sys.stderr)
+        flagship = {"throughput_rows_per_sec": 0.0, "wall_sec": None,
+                    "rank_error": None}
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "flagship_digest_rows_per_sec": round(flagship["throughput_rows_per_sec"], 1),
+        "flagship_wall_sec": flagship["wall_sec"] and round(flagship["wall_sec"], 3),
+        "rank_error": flagship["rank_error"],
+        "n_failed": sum(1 for v in timings.values() if v is None),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
