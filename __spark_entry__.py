@@ -23,7 +23,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from t_digest_spark.functions import (cdf_udf, quantile_udf, trimmed_mean_udf)
+from t_digest_spark.functions.compare import chi2_udf, ks_udf
 from t_digest_spark.operators.aggregation import tdigest_aggregate
+from t_digest_spark.operators.histogram import (HistogramSpec,
+                                                histogram_aggregate,
+                                                histogram_quantile)
 from t_digest_spark.operators.dedup import (dedup_exact, minhash_lsh_candidates,
                                             ngram_jaccard_pairs,
                                             simhash_near_dups)
@@ -218,6 +222,31 @@ def q_embedding_norm_stats(spark, sf_dir):
                  F.max("_norm").alias("max_norm")))
 
 
+_DOC_HIST = HistogramSpec(0.0, 8192.0, n_bins=64, kind="linear")
+
+
+def q_histogram_doc_lengths(spark, sf_dir):
+    """Fixed-bin histogram (reference Histogram.java family): linear bins over
+    length(text) per lang, exploded to (lang, bucket, cnt) rows. Bucket
+    arithmetic is exact in FP for integer lengths, so SQL-oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = histogram_aggregate(docs.select("lang", F.length("text").alias("len")),
+                               "len", ["lang"], _DOC_HIST)
+    return (hist.select("lang", F.posexplode("counts").alias("bucket", "cnt"))
+            .where(F.col("cnt") > 0)
+            .select("lang", F.col("bucket").cast("long").alias("bucket"), "cnt"))
+
+
+def q_histogram_doc_p50(spark, sf_dir):
+    """Histogram quantile: p50 of length(text) per lang via in-bin linear
+    interpolation — deterministic given the bin layout, so oracle-checked
+    against the same interpolation spelled in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = histogram_aggregate(docs.select("lang", F.length("text").alias("len")),
+                               "len", ["lang"], _DOC_HIST)
+    return hist.select("lang", histogram_quantile(_DOC_HIST, 0.5).alias("p50"))
+
+
 # ------------------------------------------------------- rows-only (sketch)
 
 def q_tdigest_price_quantiles(spark, sf_dir):
@@ -287,6 +316,24 @@ def q_embedding_near_dups(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_digest_compare_flags(spark, sf_dir):
+    """Distribution drift scoring (Comparison.java semantics): KS + chi2 of
+    each returnflag's price digest against flag N's digest. Sketch-based
+    statistics -> rows-only; score behavior gated in tests/test_compare.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    base = dig.where(F.col("l_returnflag") == "N").select(
+        F.col("means").alias("m1"), F.col("weights").alias("w1"),
+        F.col("dmin").alias("lo1"), F.col("dmax").alias("hi1"))
+    others = dig.where(F.col("l_returnflag") != "N")
+    return (others.crossJoin(F.broadcast(base))
+            .select("l_returnflag",
+                    ks_udf()("m1", "w1", "lo1", "hi1",
+                             "means", "weights", "dmin", "dmax").alias("ks_vs_N"),
+                    chi2_udf()("m1", "w1", "lo1", "hi1",
+                               "means", "weights", "dmin", "dmax").alias("chi2_vs_N")))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic media -> hash-fake features ->
     per-kind stats (decode itself stubbed; Spark plumbing real)."""
@@ -315,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         "similarity_topk": q_similarity_topk,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "histogram_doc_lengths": q_histogram_doc_lengths,
+        "histogram_doc_p50": q_histogram_doc_p50,
         # rows-only (sketch estimates / seeded approximations)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
@@ -323,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "digest_compare_flags": q_digest_compare_flags,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -485,6 +535,36 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine DESC, corpus_id ASC) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "histogram_doc_lengths": """
+            SELECT lang,
+                   cast(floor(length(text) / 128.0) as bigint) AS bucket,
+                   count(*) AS cnt
+            FROM documents
+            WHERE length(text) >= 0 AND floor(length(text) / 128.0) < 64
+            GROUP BY lang, bucket
+        """,
+        "histogram_doc_p50": """
+            WITH b AS (
+                SELECT lang, cast(floor(length(text) / 128.0) as bigint) AS bucket,
+                       count(*) AS c
+                FROM documents
+                WHERE length(text) >= 0 AND floor(length(text) / 128.0) < 64
+                GROUP BY lang, bucket
+            ),
+            c AS (
+                SELECT lang, bucket, c,
+                       sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM b
+            )
+            SELECT lang,
+                   min_by(bucket * 128.0
+                          + 128.0 * least(greatest((0.5 * n - (cum - c)) / c, 0.0), 1.0),
+                          bucket) AS p50
+            FROM c
+            WHERE cum >= 0.5 * n
+            GROUP BY lang
         """,
         "embedding_norm_stats": """
             SELECT label, count(*) AS n_vecs,

@@ -83,8 +83,17 @@ def main():
                       shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/Arrow warmup so q1 doesn't pay session startup.
+    # Warm the JVM and the Python-UDF worker pool so q1 doesn't pay session
+    # startup + the per-core worker fork/import storm.
+    import pandas as pd
     spark.range(1000).select(F.sum("id")).collect()
+    ncores = int(cpus) if cpus.isdigit() else 32
+
+    def _warm(it):
+        for pdf in it:
+            yield pd.DataFrame({"y": [float(len(pdf))]})
+    spark.range(0, ncores * 100, numPartitions=ncores).mapInPandas(
+        _warm, "y double").collect()
 
     timings = {}
     for name, fn in entrymod.queries().items():

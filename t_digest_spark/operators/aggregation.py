@@ -49,17 +49,35 @@ def _out_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
 def tdigest_partial_build(df: DataFrame, value_col: str,
                           group_cols: Optional[Sequence[str]] = None,
                           delta: float = 100.0, scale: str = "k2",
-                          weight_col: Optional[str] = None) -> DataFrame:
+                          weight_col: Optional[str] = None,
+                          pre_aggregate: bool = False) -> DataFrame:
     """One digest row per (input partition, group): map-side partial aggregation.
 
     Nulls and NaNs in ``value_col`` are ignored (SQL aggregate semantics; the
     reference's add() *rejects* NaN, MergingDigest.java:262-264 — here the
     filter happens before the digest sees the data).
+
+    ``pre_aggregate=True`` collapses duplicate values JVM-side first:
+    ``groupBy(group, x) -> sum(w)`` runs as a codegen hash aggregate with
+    map-side combine, so only distinct (group, x) pairs cross the Arrow
+    boundary as weighted samples — bit-identical digest semantics (w points
+    at x == one add(x, w), TDigest.java:92). This sidesteps Spark's per-row
+    ArrowWriter.sizeInBytes batch-limit bookkeeping on the Python boundary
+    (~200ns/row of pure overhead — measured dominant for 10^7+ row builds)
+    and shrinks the boundary by the duplication factor. Use whenever the
+    value column is discrete (integer lengths, counts, prices in cents);
+    for high-cardinality continuous doubles it degrades to a no-op plus one
+    extra shuffle, so it is opt-in.
     """
     group_cols = list(group_cols or [])
     cols = group_cols + [value_col] + ([weight_col] if weight_col else [])
     proj = df.select(*cols).where(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
+    if pre_aggregate:
+        w = (F.sum(weight_col) if weight_col else F.count(F.lit(1))).cast("double")
+        proj = (proj.groupBy(*group_cols, value_col)
+                .agg(w.alias("__w__")))
+        weight_col = "__w__"
     schema = _out_schema(proj, group_cols)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,9 +182,78 @@ def tdigest_aggregate(df: DataFrame, value_col: str,
                       group_cols: Optional[Sequence[str]] = None,
                       delta: float = 100.0, scale: str = "k2",
                       weight_col: Optional[str] = None,
-                      salt_levels: int = 0, compress: bool = True) -> DataFrame:
+                      salt_levels: int = 0, compress: bool = True,
+                      pre_aggregate: bool = False) -> DataFrame:
     """End-to-end: raw rows -> one digest row per group (partial + final)."""
     partials = tdigest_partial_build(df, value_col, group_cols, delta=delta,
-                                     scale=scale, weight_col=weight_col)
+                                     scale=scale, weight_col=weight_col,
+                                     pre_aggregate=pre_aggregate)
     return tdigest_merge(partials, group_cols, delta=delta, scale=scale,
                          salt_levels=salt_levels, compress=compress)
+
+
+def tdigest_quantile_aggregate(df: DataFrame, value_col: str,
+                               group_cols: Optional[Sequence[str]] = None,
+                               quantiles: Optional[dict] = None,
+                               trimmed: Optional[dict] = None,
+                               cdfs: Optional[dict] = None,
+                               delta: float = 100.0, scale: str = "k2",
+                               weight_col: Optional[str] = None,
+                               pre_aggregate: bool = False) -> DataFrame:
+    """Fused aggregate: raw rows -> quantile/trimmed-mean/cdf columns directly.
+
+    The final merge task evaluates the queries on the just-merged digest
+    instead of emitting digest arrays for a separate scalar-UDF stage — one
+    fewer Python stage roundtrip per job and no centroid arrays ever leave
+    the merge task. Use tdigest_aggregate when the digest itself is the
+    product (checkpointing, further merging).
+
+    quantiles: {"p50": 0.5, ...}; trimmed: {"iq_mean": (0.25, 0.75)};
+    cdfs: {"cdf_30k": 30000.0}. Output: group cols + count + dmin + dmax +
+    one double column per query.
+    """
+    quantiles = quantiles or {}
+    trimmed = trimmed or {}
+    cdfs = cdfs or {}
+    group_cols = list(group_cols or [])
+    partials = tdigest_partial_build(df, value_col, group_cols, delta=delta,
+                                     scale=scale, weight_col=weight_col,
+                                     pre_aggregate=pre_aggregate)
+    pdf_group_cols = group_cols
+    added_key = False
+    if not group_cols:
+        partials = partials.withColumn(_GLOBAL_KEY, F.lit(1))
+        pdf_group_cols = [_GLOBAL_KEY]
+        added_key = True
+
+    by_name = {f.name: f for f in partials.schema.fields}
+    out_fields = [by_name[c] for c in pdf_group_cols]
+    out_schema = StructType(out_fields)
+    out_schema = out_schema.add("count", "double").add("dmin", "double").add("dmax", "double")
+    for name in [*quantiles, *trimmed, *cdfs]:
+        out_schema = out_schema.add(name, "double")
+
+    def merge_and_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = _merge_group(pdf, pdf_group_cols, delta, scale, compress=True)
+        d = TDigest.from_centroids(
+            np.asarray(row["means"].iloc[0], dtype=np.float64),
+            np.asarray(row["weights"].iloc[0], dtype=np.float64),
+            float(row["dmin"].iloc[0]), float(row["dmax"].iloc[0]),
+            delta=delta, scale=scale)
+        out = {c: [row[c].iloc[0]] for c in pdf_group_cols}
+        out["count"] = [d.count]
+        out["dmin"] = [d.min]
+        out["dmax"] = [d.max]
+        for name, q in quantiles.items():
+            out[name] = [d.quantile(q)]
+        for name, (lo, hi) in trimmed.items():
+            out[name] = [d.trimmed_mean(lo, hi)]
+        for name, x in cdfs.items():
+            out[name] = [d.cdf(x)]
+        return pd.DataFrame(out)
+
+    result = (partials.groupBy(*pdf_group_cols)
+              .applyInPandas(merge_and_query, out_schema))
+    if added_key:
+        result = result.drop(_GLOBAL_KEY)
+    return result

@@ -1,0 +1,164 @@
+"""Fixed-bin mergeable histograms — the reference's second sketch family.
+
+Reference semantics (cited for parity, not ported):
+  * Histogram.java:30-35 — abstract fixed-bin counts `long[]`, merge =
+    elementwise sum over identical bin layouts (Histogram.java add()).
+  * FloatHistogram.java:69-73 — log-spaced bins between lo and hi with
+    ~binsPerDecade resolution (bin edges follow the float representation).
+  * LogHistogram.java:93-95 — bins spaced by approxLog2.
+
+Spark-first restatement: the bucket index is a Catalyst expression (stays in
+whole-stage codegen), counting is ONE hash aggregate with map-side combine
+(an array of conditional sums — no per-bucket shuffle, no UDF), and merging
+histograms is `zip_with(a, b, +)` — pure JVM. The reference's approxLog2
+(a bit-twiddling log approximation used to avoid libm cost in Java) is
+deliberately replaced with exact `log2`: Catalyst evaluates it natively and
+vectorized, so the approximation would add error for zero speedup.
+
+Two bin layouts:
+  * log-spaced  (reference parity: FloatHistogram/LogHistogram semantics)
+  * linear      (uniform width; exact SQL-oracle-able bucket arithmetic)
+
+Row layout per group: (group..., counts array<long>, underflow long,
+overflow long, total long). Merge of rows with the same layout is
+histogram_merge(); layouts are job-level parameters like digest delta.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class HistogramSpec:
+    """Bin layout: shared by aggregate, merge, and query helpers."""
+
+    def __init__(self, lo: float, hi: float, n_bins: Optional[int] = None,
+                 bins_per_octave: Optional[float] = None, kind: str = "log"):
+        if lo >= hi:
+            raise ValueError("lo must be < hi")
+        self.kind = kind
+        self.lo = float(lo)
+        self.hi = float(hi)
+        if kind == "log":
+            if lo <= 0:
+                raise ValueError("log histogram requires lo > 0 "
+                                 "(FloatHistogram.java:69 contract)")
+            octaves = math.log2(hi / lo)
+            if n_bins is None:
+                bins_per_octave = bins_per_octave or 10.0
+                n_bins = max(int(math.ceil(octaves * bins_per_octave)), 1)
+            self.bins_per_octave = n_bins / octaves
+        elif kind == "linear":
+            if n_bins is None:
+                raise ValueError("linear histogram requires n_bins")
+            self.width = (self.hi - self.lo) / n_bins
+        else:
+            raise ValueError(f"unknown histogram kind {kind!r}")
+        self.n_bins = int(n_bins)
+
+    def bucket(self, x: Column) -> Column:
+        """Bucket index expression (NULL-safe; out-of-range clamped later)."""
+        if self.kind == "log":
+            return F.floor(F.log2(x / F.lit(self.lo)) * F.lit(self.bins_per_octave))
+        return F.floor((x - F.lit(self.lo)) / F.lit(self.width))
+
+    def edges(self) -> list:
+        """Bin lower edges (for presentation / quantile interpolation)."""
+        if self.kind == "log":
+            return [self.lo * 2 ** (i / self.bins_per_octave)
+                    for i in range(self.n_bins + 1)]
+        return [self.lo + i * self.width for i in range(self.n_bins + 1)]
+
+
+def histogram_aggregate(df: DataFrame, value_col: str,
+                        group_cols: Optional[Sequence[str]] = None,
+                        spec: HistogramSpec = None) -> DataFrame:
+    """One histogram row per group in a single hash aggregate.
+
+    The counts array is built as n_bins conditional sums — Catalyst runs this
+    as one partial+final aggregate with map-side combine, so raw rows never
+    shuffle; only (groups x n_bins) longs do. At 100 TB this is the same
+    plan shape as a plain groupBy().count().
+    """
+    group_cols = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    b = spec.bucket(x)
+    valid = x.isNotNull() & ~F.isnan(x)
+    in_range = valid & (b >= 0) & (b < spec.n_bins)
+    proj = df.select(*group_cols,
+                     F.when(in_range, b).alias("__b__"),
+                     F.when(valid & (b < 0), 1).otherwise(0).alias("__under__"),
+                     F.when(valid & (b >= spec.n_bins), 1).otherwise(0).alias("__over__"))
+    counts = F.array(*[
+        F.sum(F.when(F.col("__b__") == i, F.lit(1)).otherwise(F.lit(0)))
+        for i in range(spec.n_bins)]).alias("counts")
+    agg = proj.groupBy(*group_cols).agg(
+        counts,
+        F.sum("__under__").alias("underflow"),
+        F.sum("__over__").alias("overflow"))
+    return agg.withColumn(
+        "total",
+        F.aggregate("counts", F.lit(0).cast("long"), lambda a, c: a + c)
+        + F.col("underflow") + F.col("overflow"))
+
+
+def histogram_merge(hist_df: DataFrame,
+                    group_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Merge histogram rows sharing a bin layout: elementwise array addition
+    (the reference's Histogram.add contract) — zip_with, fully JVM-side."""
+    group_cols = list(group_cols or [])
+    zero = F.array_repeat(F.lit(0).cast("long"), F.size(F.first("counts")))
+    merged = F.aggregate(
+        F.collect_list("counts"), zero,
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b)).alias("counts")
+    gb = hist_df.groupBy(*group_cols) if group_cols else hist_df.groupBy()
+    return gb.agg(merged,
+                  F.sum("underflow").alias("underflow"),
+                  F.sum("overflow").alias("overflow"),
+                  F.sum("total").alias("total"))
+
+
+def histogram_cdf(spec: HistogramSpec, x: float) -> Column:
+    """P(X <= x) from the counts array (in-range mass only) — JVM expression."""
+    b = spec.bucket(F.lit(float(x)))
+    full = F.aggregate(F.slice("counts", 1, F.greatest(b.cast("int"), F.lit(0))),
+                       F.lit(0).cast("long"), lambda a, c: a + c)
+    inrange = F.aggregate("counts", F.lit(0).cast("long"), lambda a, c: a + c)
+    return (full.cast("double") / inrange.cast("double"))
+
+
+def histogram_quantile(spec: HistogramSpec, q: float) -> Column:
+    """Quantile by linear interpolation within the containing bin.
+
+    Pure Catalyst: cumulative mass via aggregate over a zipped index array.
+    Bins are few (a histogram row is tiny), so the expression cost is nil
+    next to the aggregate that produced the row.
+    """
+    edges = spec.edges()
+    lows = F.array(*[F.lit(e) for e in edges[:-1]])
+    highs = F.array(*[F.lit(e) for e in edges[1:]])
+    n = F.aggregate("counts", F.lit(0).cast("long"), lambda a, c: a + c)
+    target = F.lit(float(q)) * n.cast("double")
+    # running cumulative sums of counts
+    cum = F.aggregate(
+        "counts",
+        F.struct(F.lit(0).cast("long").alias("s"),
+                 F.array().cast("array<long>").alias("acc")),
+        lambda st, c: F.struct(
+            (st["s"] + c).alias("s"),
+            F.concat(st["acc"], F.array(st["s"] + c)).alias("acc")),
+        lambda st: st["acc"])
+    # first bin where cum >= target
+    idx = F.array_position(F.transform(cum, lambda c: c >= target), True)
+    prev_cum = F.when(idx > 1, F.element_at(cum, (idx - 1).cast("int"))
+                      ).otherwise(F.lit(0).cast("long"))
+    cnt = F.element_at("counts", idx.cast("int"))
+    lo_e = F.element_at(lows, idx.cast("int"))
+    hi_e = F.element_at(highs, idx.cast("int"))
+    frac = (target - prev_cum.cast("double")) / cnt.cast("double")
+    return F.when(idx == 0, F.lit(None).cast("double")).otherwise(
+        lo_e + (hi_e - lo_e) * F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))

@@ -1,0 +1,91 @@
+"""Structured Streaming digest accumulation.
+
+The reference digest is itself a one-pass streaming accumulator with lazy
+flush (MergingDigest.java:571, :709 — queries flush pending points). The
+Spark restatement: per-key digest state inside ``applyInPandasWithState`` —
+each micro-batch's Arrow batches play the role of the reference's staging
+buffer (MergingDigest.java:85-97), folded into the state digest with the
+same sort+sweep merge the batch path uses.
+
+State layout mirrors the serde row: (means, weights, dmin, dmax, count).
+Output mode "update": every trigger emits the refreshed digest row per key
+touched in that trigger, so a downstream sink always holds the latest
+mergeable state — the streaming analog of the checkpoint table
+(operators/checkpoint.py).
+
+For event-time windowed digests use ``window_group_col``: the window struct
+becomes part of the grouping key, and the caller attaches a watermark
+beforehand (late data then expires with the watermark as usual).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, DoubleType, StructField, StructType)
+
+from t_digest_spark.core import TDigest
+from t_digest_spark.serde import DIGEST_FIELDS, digest_to_cells
+
+STATE_SCHEMA = StructType([
+    StructField("means", ArrayType(DoubleType())),
+    StructField("weights", ArrayType(DoubleType())),
+    StructField("dmin", DoubleType()),
+    StructField("dmax", DoubleType()),
+    StructField("count", DoubleType()),
+])
+
+
+def tdigest_stream_aggregate(df: DataFrame, value_col: str,
+                             group_cols: Sequence[str],
+                             delta: float = 100.0, scale: str = "k2",
+                             timeout: str = GroupStateTimeout.NoTimeout) -> DataFrame:
+    """Stateful per-key digest over a streaming DataFrame.
+
+    Returns a streaming DataFrame of digest rows (group cols + means/weights/
+    dmin/dmax/count) in update mode; each emitted row is a valid mergeable
+    digest, so downstream batch jobs can tdigest_merge() them freely.
+    """
+    group_cols = list(group_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols] + DIGEST_FIELDS)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        d = TDigest(delta=delta, scale=scale)
+        if state.exists:
+            means, weights, dmin, dmax, count = state.get
+            if means:
+                d = TDigest.from_centroids(
+                    np.asarray(means, dtype=np.float64),
+                    np.asarray(weights, dtype=np.float64),
+                    float(dmin), float(dmax), delta=delta, scale=scale)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                d.add_values(vals)
+        cells = digest_to_cells(d)
+        # state round-trips through Pyrolite: native Python types only
+        state.update((np.asarray(cells[0]).tolist(), np.asarray(cells[1]).tolist(),
+                      float(cells[2]), float(cells[3]), float(cells[4])))
+        yield pd.DataFrame([tuple(key) + cells],
+                           columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, STATE_SCHEMA,
+                                    "update", timeout))
+
+
+def with_event_window(df: DataFrame, ts_col: str, window_duration: str,
+                      watermark: Optional[str] = None) -> DataFrame:
+    """Attach an event-time window struct column ``win`` (plus watermark when
+    given) so the window participates in the digest grouping key."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.withColumn("win", F.window(ts_col, window_duration))

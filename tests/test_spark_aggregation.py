@@ -145,3 +145,32 @@ def test_lineitem_digest_vs_exact(spark):
         assert abs(Dist.cdf(out.loc[flag, "p50"], data) - 0.5) < 0.02
         assert out.loc[flag, "dmin"] == data.min()
         assert out.loc[flag, "dmax"] == data.max()
+
+
+def test_fused_quantile_aggregate(spark):
+    """tdigest_quantile_aggregate == tdigest_aggregate + scalar UDFs (same
+    digest, queries evaluated inside the merge task)."""
+    from t_digest_spark.operators import tdigest_quantile_aggregate
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 4000),
+        "x": np.concatenate([rng.normal(100, 15, 4000), rng.uniform(0, 1, 4000)]),
+    })
+    df = spark.createDataFrame(pdf).repartition(4)
+    fused = {r.g: r for r in tdigest_quantile_aggregate(
+        df, "x", ["g"],
+        quantiles={"p50": 0.5, "p99": 0.99},
+        trimmed={"iq": (0.25, 0.75)},
+        cdfs={"cdf100": 100.0}).collect()}
+    assert set(fused) == {"a", "b"}
+    for g in ("a", "b"):
+        vals = np.sort(pdf[pdf.g == g].x.to_numpy())
+        assert fused[g]["count"] == 4000.0
+        assert abs(fused[g]["p50"] - Dist.quantile(0.5, vals)) < 0.02 * (vals.max() - vals.min()) + 1e-9
+        assert 0.0 <= fused[g]["cdf100"] <= 1.0
+        lo_i, hi_i = int(0.25 * 4000), int(0.75 * 4000)
+        exact_iq = vals[lo_i:hi_i].mean()
+        assert abs(fused[g]["iq"] - exact_iq) < 0.05 * (abs(exact_iq) + 1)
+    # global (no group) path
+    tot = tdigest_quantile_aggregate(df, "x", None, quantiles={"p50": 0.5}).collect()
+    assert len(tot) == 1 and tot[0]["count"] == 8000.0
