@@ -106,21 +106,47 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
 
     cum = np.cumsum(w)
     normalizer = scale.normalizer(compression, total)
-    out_m: List[float] = []
-    out_w: List[float] = []
-    w_before = 0.0  # weight of already-emitted clusters (wSoFar)
+
+    # Singleton-run fast path. A cluster starting at sorted position s has
+    # emitted weight exactly cum[s-1] behind it (path-independent), so whether
+    # it can absorb even its immediate neighbor is a pure function of s —
+    # computable for ALL positions in one vectorized shot. Positions that
+    # cannot absorb are emitted as singleton RUNS wholesale, making the
+    # all-singleton regime (delta >= 2n, exact order-statistic digests) cost
+    # O(1) Python iterations instead of O(n).
+    c_prev_all = np.concatenate((np.zeros(1), cum[:-1]))  # cum[s-1]
+    can2 = np.zeros(n, dtype=bool)
+    prop2 = cum[1:] - c_prev_all[:-1]                     # weight of {s, s+1}
+    q0_all = c_prev_all[:-1] / total
+    q2_all = cum[1:] / total
+    lim2 = total * np.minimum(scale.max(q0_all, normalizer),
+                              scale.max(q2_all, normalizer))
+    can2[:-1] = prop2 <= lim2
+    # forced cluster breaks: sorted positions 1 and n-1 always start clusters
+    can2[0] = False
+    can2[n - 2] = False
+    true_idx = np.flatnonzero(can2)
+
+    seg_m: List[np.ndarray] = []
+    seg_w: List[np.ndarray] = []
     s = 0
     while s < n:
-        c_prev = cum[s - 1] if s > 0 else 0.0
-        q0 = w_before / total
-        max_q0 = float(scale.max(q0, normalizer))
+        if not can2[s]:
+            ti = np.searchsorted(true_idx, s)
+            r = int(true_idx[ti]) if ti < true_idx.size else n
+            seg_m.append(m[s:r])
+            seg_w.append(w[s:r])
+            s = r
+            continue
+        c_prev = float(c_prev_all[s])
+        max_q0 = float(scale.max(c_prev / total, normalizer))
         e = s  # last index included in this cluster
         j0 = s + 1
         win = 512
         while j0 < n:
             j1 = min(n, j0 + win)
             prop = cum[j0:j1] - c_prev  # cluster weight if extended through j
-            q2 = (w_before + prop) / total
+            q2 = (c_prev + prop) / total
             ok = prop <= total * np.minimum(max_q0, scale.max(q2, normalizer))
             # forced cluster breaks at sorted positions 1 and n-1
             if j0 <= 1 < j1:
@@ -142,13 +168,12 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
             cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
             lo, hi = (float(m[s]), float(m[e])) if m[s] <= m[e] else (float(m[e]), float(m[s]))
             cm = min(max(cm, lo), hi)
-        out_m.append(cm)
-        out_w.append(cw)
-        w_before += cw
+        seg_m.append(np.array([cm]))
+        seg_w.append(np.array([cw]))
         s = e + 1
 
-    om = np.asarray(out_m, dtype=np.float64)
-    ow = np.asarray(out_w, dtype=np.float64)
+    om = np.concatenate(seg_m).astype(np.float64, copy=False)
+    ow = np.concatenate(seg_w).astype(np.float64, copy=False)
     if run_backwards:
         om = om[::-1].copy()
         ow = ow[::-1].copy()
