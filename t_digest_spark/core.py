@@ -201,19 +201,32 @@ class TDigest:
                  "_pending_m", "_pending_w", "_pending_n", "use_alternating")
 
     def __init__(self, delta: float = 100.0, scale: str = "k2",
-                 buffer_size: int = -1, use_alternating: bool = True):
+                 buffer_size: int = -1, use_alternating: bool = True,
+                 unnormalized_ok: bool = False):
         public, internal, _size, buf = sizing(delta, buffer_size=buffer_size)
         self.delta = public
         self._internal_delta = internal
         self._buffer_cap = buf if buffer_size != -1 else max(buf, _DEFAULT_INGEST_CHUNK)
         self.scale_name = scale.lower()
-        get_scale(self.scale_name)  # validate early
+        sc = get_scale(self.scale_name)  # validate early
+        if getattr(sc, "unnormalized", False) and not unnormalized_ok:
+            # reference gate: only setUnnormalizedScaleFunction accepts these
+            # (TDigest.java:170-180) — centroid count grows ~log(n)
+            raise ValueError(
+                f"scale {self.scale_name!r} is unnormalized (size grows with "
+                "log n); pass unnormalized_ok=True to opt in")
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
         self.min = math.inf
         self.max = -math.inf
         self.total = 0.0
         self._merge_count = 0
+        # Alternating merge direction cancels left-to-right bias for
+        # mirror-symmetric scales, but applies the size limit to mirrored
+        # quantiles — wrong for asymmetric laws (the reference's experiments
+        # disable it for GLUED scales, IIDgenerator.java:178-181).
+        if getattr(sc, "asymmetric", False):
+            use_alternating = False
         self.use_alternating = use_alternating
         self._pending_m: List[np.ndarray] = []
         self._pending_w: List[np.ndarray] = []

@@ -135,7 +135,183 @@ class _K3:
         return delta / (4.0 * math.log(max(n, 1.0) / delta) + 21.0)
 
 
-SCALES = {s.name: s for s in (_K0, _K1, _K2, _K3)}
+_SPLIT = 0.5  # glued-variant split point (ScaleFunction.java:156, :370)
+
+
+class _K1Glued:
+    """K_1 above the split, uniform below with a tangent glue
+    (ScaleFunction.java:154-229)."""
+
+    name = "k1_glued"
+    asymmetric = True  # cluster-size law not mirror-symmetric in q
+
+    @staticmethod
+    def k(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        s = _SPLIT
+        lo = normalizer * (math.asin(2 * s - 1)
+                           + (q - s) / math.sqrt(s * (1 - s)))
+        hi = normalizer * np.arcsin(2.0 * np.clip(q, s, 1.0) - 1.0)
+        return np.where(q <= s, lo, hi)
+
+    @staticmethod
+    def q(k, normalizer):
+        k = np.asarray(k, dtype=np.float64)
+        s = _SPLIT
+        cut = normalizer * math.asin(2 * s - 1)
+        lo = (k / normalizer - math.asin(2 * s - 1)) * math.sqrt(s * (1 - s)) + s
+        hi = (np.sin(np.clip(k, cut, None) / normalizer) + 1.0) / 2.0
+        return np.where(k <= cut, lo, hi)
+
+    @staticmethod
+    def max(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        s = _SPLIT
+        inside = (q > 0) & (q < 1)
+        qq = np.where(inside, q, 0.5)
+        hi = 2.0 * math.sin(0.5 / normalizer) * np.sqrt(qq * (1.0 - qq))
+        val = np.where(qq <= s, math.sqrt(s * (1 - s)) / normalizer, hi)
+        return np.where(inside, val, 0.0)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta / (2.0 * math.pi)
+
+
+class _K2Glued:
+    """K_2 above the split, uniform below (ScaleFunction.java:368-456)."""
+
+    name = "k2_glued"
+    asymmetric = True  # cluster-size law not mirror-symmetric in q
+
+    @staticmethod
+    def k(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        s = _SPLIT
+        ls = math.log(s / (1 - s))
+        lo = ((q - s) / s / (1 - s) + ls) * normalizer
+        qm = np.clip(q, s, 1.0 - _EPS)
+        hi = np.log(qm / (1.0 - qm)) * normalizer
+        top = 2.0 * math.log((1 - _EPS) / _EPS) * normalizer  # 2*k(1-eps)
+        out = np.where(q <= s, lo, hi)
+        return np.where(q > 1 - _EPS, top, out)
+
+    @staticmethod
+    def q(k, normalizer):
+        k = np.asarray(k, dtype=np.float64)
+        s = _SPLIT
+        ls = math.log(s / (1 - s))
+        cut = ls * normalizer
+        lo = s * (1 - s) * (k / normalizer - ls) + s
+        w = np.exp(np.where(k <= cut, cut, k) / normalizer)
+        hi = w / (1.0 + w)
+        return np.where(k <= cut, lo, hi)
+
+    @staticmethod
+    def max(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        s = _SPLIT
+        return np.where(q <= s, s * (1 - s) / normalizer,
+                        q * (1.0 - q) / normalizer)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta / (4.0 * math.log(max(n, 1.0) / delta) + 24.0)
+
+
+class _K3Glued:
+    """K_3 above the split, uniform below (ScaleFunction.java:535-602)."""
+
+    name = "k3_glued"
+    asymmetric = True  # cluster-size law not mirror-symmetric in q
+
+    @staticmethod
+    def k(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        lo = normalizer * (2.0 * q - 1.0)
+        qm = np.clip(q, 0.5, 1.0 - _EPS)
+        hi = -normalizer * np.log(2.0 * (1.0 - qm))
+        top = 10.0 * (-normalizer * math.log(2.0 * _EPS))  # 10*k(1-eps)
+        out = np.where(q <= 0.5, lo, hi)
+        return np.where(q > 1 - _EPS, top, out)
+
+    @staticmethod
+    def q(k, normalizer):
+        k = np.asarray(k, dtype=np.float64)
+        lo = (k / normalizer + 1.0) / 2.0
+        hi = 1.0 - np.exp(-np.clip(k, 0.0, None) / normalizer) / 2.0
+        return np.where(k <= 0, lo, hi)
+
+    @staticmethod
+    def max(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        return np.where(q <= 0.5, 0.5 / normalizer, (1.0 - q) / normalizer)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta / (4.0 * math.log(max(n, 1.0) / delta) + 21.0)
+
+
+class _KQuadratic:
+    """Cluster sizes ~ 1/(1+q) (ScaleFunction.java:608-644)."""
+
+    name = "k_quadratic"
+    asymmetric = True  # cluster-size law not mirror-symmetric in q
+
+    @staticmethod
+    def k(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        return normalizer * (q * q + 2.0 * q) / 3.0
+
+    @staticmethod
+    def q(k, normalizer):
+        k = np.asarray(k, dtype=np.float64)
+        return np.sqrt(normalizer * (normalizer + 3.0 * k)) / normalizer - 1.0
+
+    @staticmethod
+    def max(q, normalizer):
+        q = np.asarray(q, dtype=np.float64)
+        return 3.0 / 2.0 / normalizer / (1.0 + q)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta / 2.0
+
+
+class _K2NoNorm:
+    """Unnormalized K_2: cluster count grows ~ log(n)
+    (ScaleFunction.java:652-707; only accepted by the reference's
+    setUnnormalizedScaleFunction, TDigest.java:170-180)."""
+
+    name = "k2_no_norm"
+    unnormalized = True
+
+    k = staticmethod(_K2.k)
+    q = staticmethod(_K2.q)
+    max = staticmethod(_K2.max)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta
+
+
+class _K3NoNorm:
+    """Unnormalized K_3 (ScaleFunction.java:709-773)."""
+
+    name = "k3_no_norm"
+    unnormalized = True
+
+    k = staticmethod(_K3.k)
+    q = staticmethod(_K3.q)
+    max = staticmethod(_K3.max)
+
+    @staticmethod
+    def normalizer(delta, n):
+        return delta
+
+
+SCALES = {s.name: s for s in (_K0, _K1, _K2, _K3, _K1Glued, _K2Glued,
+                              _K3Glued, _KQuadratic, _K2NoNorm, _K3NoNorm)}
 
 
 def get_scale(name: str):

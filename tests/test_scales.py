@@ -65,3 +65,45 @@ def test_k3_symmetry():
     norm = s.normalizer(100.0, 1e6)
     for q in [0.01, 0.2, 0.4]:
         assert float(s.k(q, norm)) == pytest.approx(-float(s.k(1 - q, norm)))
+
+
+def test_glued_continuity_at_split():
+    """Glued variants must be continuous across the split point
+    (the tangent-glue construction, ScaleFunction.java:154-229)."""
+    for name in ("k1_glued", "k2_glued", "k3_glued"):
+        s = SCALES[name]
+        norm = s.normalizer(100.0, 1e6)
+        eps = 1e-9
+        below = float(s.k(0.5 - eps, norm))
+        above = float(s.k(0.5 + eps, norm))
+        assert abs(above - below) < 1e-6, name
+        # uniform below split: k is linear there
+        k1 = float(s.k(0.1, norm))
+        k2 = float(s.k(0.2, norm))
+        k3 = float(s.k(0.3, norm))
+        assert (k3 - k2) == pytest.approx(k2 - k1, rel=1e-9), name
+
+
+def test_unnormalized_guard():
+    """Unnormalized scales are rejected unless opted in (TDigest.java:170-180)."""
+    from t_digest_spark.core import TDigest
+    with pytest.raises(ValueError, match="unnormalized"):
+        TDigest(scale="k2_no_norm")
+    d = TDigest(delta=50.0, scale="k2_no_norm", unnormalized_ok=True)
+    d.add_values(np.linspace(0, 1, 10000))
+    assert abs(d.quantile(0.5) - 0.5) < 0.01
+    # normalized and unnormalized K_2 agree through the digest within tolerance
+    d2 = TDigest(delta=50.0, scale="k2")
+    d2.add_values(np.linspace(0, 1, 10000))
+    assert abs(d.quantile(0.9) - d2.quantile(0.9)) < 0.01
+
+
+def test_quadratic_digest_end_to_end():
+    from t_digest_spark.core import TDigest
+    rng = np.random.default_rng(9)
+    vals = rng.exponential(1.0, 50000)
+    d = TDigest.from_values(vals, delta=200.0, scale="k_quadratic")
+    srt = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = srt[int(q * len(srt))]
+        assert abs(d.cdf(exact) - q) < 0.02, q
