@@ -237,6 +237,46 @@ def q_histogram_doc_lengths(spark, sf_dir):
             .select("lang", F.col("bucket").cast("long").alias("bucket"), "cnt"))
 
 
+def q_histogram_events_cdf(spark, sf_dir):
+    """Histogram cdf as a pure-Catalyst expression over the counts array
+    (no UDF): P(value <= x) per event_type with linear bins."""
+    from t_digest_spark.operators.histogram import histogram_cdf
+    ev = _t(spark, sf_dir, "events")
+    spec = HistogramSpec(0.0, 1000.0, n_bins=100, kind="linear")
+    hist = histogram_aggregate(ev, "value", ["event_type"], spec)
+    return hist.select(
+        "event_type", "total",
+        histogram_cdf(spec, 250.0).alias("cdf_250"),
+        histogram_cdf(spec, 500.0).alias("cdf_500"))
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP composition: once aggregates are Catalyst-native they compose
+    with grouping sets for free (SURVEY.md §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                 .alias("revenue"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n_orders", "revenue"))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: JVM-side explode of kept frame
+    indices (decode itself is the stubbed step). Deterministic -> oracled."""
+    from t_digest_spark.operators.multimodal import frame_sample, synthetic_media
+    ids = spark.range(0, 500)
+    media = synthetic_media(ids, kind="video")
+    frames = frame_sample(media, every_n=4)
+    return (frames.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.max("frame_idx").alias("last_idx"))
+            .join(media.select("media_id", "n_frames"), "media_id"))
+
+
 def q_histogram_doc_p50(spark, sf_dir):
     """Histogram quantile: p50 of length(text) per lang via in-bin linear
     interpolation — deterministic given the bin layout, so oracle-checked
@@ -334,6 +374,43 @@ def q_digest_compare_flags(spark, sf_dir):
                                "means", "weights", "dmin", "dmax").alias("chi2_vs_N")))
 
 
+def q_streaming_digest_events(spark, sf_dir):
+    """Structured Streaming surface in the driver contract: file-source stream
+    over the events table (one file per trigger), stateful per-type digest via
+    applyInPandasWithState, final state queried after processAllAvailable.
+    Counts are exact; quantiles are sketch estimates -> rows-only."""
+    import tempfile
+    from pyspark.sql.window import Window
+    from t_digest_spark.streaming import tdigest_stream_aggregate
+    work = tempfile.mkdtemp(prefix="tdigest_stream_q_")
+    ckpt = os.path.join(work, "ckpt")
+    in_dir = os.path.join(work, "in")
+    # FileStreamSource requires a directory; stage the table as 4 chunk files
+    # so the stateful operator sees several triggers, not one.
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = (spark.readStream
+              .schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir))
+    digests = tdigest_stream_aggregate(stream, "value", ["event_type"])
+    name = "stream_digest_events_sink"
+    q = (digests.writeStream.format("memory").queryName(name)
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    latest = (spark.table(name)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("event_type").orderBy(F.desc("count"))))
+              .where(F.col("__rn") == 1))
+    return latest.select(
+        "event_type", F.col("count").alias("n_events"),
+        quantile_udf(0.5)(*_D).alias("p50"),
+        quantile_udf(0.99)(*_D).alias("p99"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic media -> hash-fake features ->
     per-kind stats (decode itself stubbed; Spark plumbing real)."""
@@ -364,6 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "histogram_doc_lengths": q_histogram_doc_lengths,
         "histogram_doc_p50": q_histogram_doc_p50,
+        "histogram_events_cdf": q_histogram_events_cdf,
+        "rollup_revenue": q_rollup_revenue,
+        "frame_sample": q_frame_sample,
         # rows-only (sketch estimates / seeded approximations)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
@@ -373,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "digest_compare_flags": q_digest_compare_flags,
+        "streaming_digest_events": q_streaming_digest_events,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -565,6 +646,35 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE cum >= 0.5 * n
             GROUP BY lang
+        """,
+        "histogram_events_cdf": """
+            SELECT event_type,
+                   count(*) AS total,
+                   cast(count(*) FILTER (WHERE value >= 0 AND value < 250) as double)
+                     / cast(count(*) FILTER (WHERE value >= 0 AND value < 1000) as double)
+                     AS cdf_250,
+                   cast(count(*) FILTER (WHERE value >= 0 AND value < 500) as double)
+                     / cast(count(*) FILTER (WHERE value >= 0 AND value < 1000) as double)
+                     AS cdf_500
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "frame_sample": """
+            SELECT i AS media_id,
+                   cast(floor((n_frames - 1) / 4) + 1 as bigint) AS n_sampled,
+                   cast(4 * floor((n_frames - 1) / 4) as int) AS last_idx,
+                   n_frames
+            FROM (SELECT range AS i, cast(1 + (range % 16) as int) AS n_frames
+                  FROM range(0, 500))
         """,
         "embedding_norm_stats": """
             SELECT label, count(*) AS n_vecs,
