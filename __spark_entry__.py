@@ -395,12 +395,21 @@ def q_streaming_digest_events(spark, sf_dir):
               .parquet(in_dir))
     digests = tdigest_stream_aggregate(stream, "value", ["event_type"])
     name = "stream_digest_events_sink"
-    q = (digests.writeStream.format("memory").queryName(name)
-         .outputMode("update").option("checkpointLocation", ckpt).start())
+    # State-partition sizing: the stateful operator keeps one state store per
+    # shuffle partition PER TRIGGER; with a handful of group keys, 32 mostly-
+    # empty stores per micro-batch is pure checkpoint overhead. Pin to 4 for
+    # the stream (captured at query start), then restore.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (digests.writeStream.format("memory").queryName(name)
+             .outputMode("update").option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     latest = (spark.table(name)
               .withColumn("__rn", F.row_number().over(
                   Window.partitionBy("event_type").orderBy(F.desc("count"))))

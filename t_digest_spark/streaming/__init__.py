@@ -85,7 +85,12 @@ def tdigest_stream_aggregate(df: DataFrame, value_col: str,
 def with_event_window(df: DataFrame, ts_col: str, window_duration: str,
                       watermark: Optional[str] = None) -> DataFrame:
     """Attach an event-time window struct column ``win`` (plus watermark when
-    given) so the window participates in the digest grouping key."""
+    given) so the window participates in the digest grouping key.
+
+    The source timestamp column is dropped afterwards: the window struct
+    inherits the event-time marker, and a stream may carry at most one
+    event-time column.
+    """
     if watermark:
         df = df.withWatermark(ts_col, watermark)
-    return df.withColumn("win", F.window(ts_col, window_duration))
+    return df.withColumn("win", F.window(ts_col, window_duration)).drop(ts_col)

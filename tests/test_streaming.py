@@ -91,3 +91,49 @@ def test_stream_digest_matches_batch(spark):
         assert d.max == all_a.max()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_stream_digest(spark):
+    """Event-time windowed digests: the window struct joins the grouping key
+    (with_event_window), so each (window, key) holds its own digest state."""
+    import datetime as dt
+    from t_digest_spark.streaming import with_event_window
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    rng = np.random.default_rng(5)
+    for minute in (0, 1, 2, 3):          # two 2-minute windows
+        for _ in range(500):
+            rows.append({"ts": base + dt.timedelta(minutes=minute),
+                         "g": "a", "x": float(rng.normal(10 * (minute // 2), 1))})
+    pdf = pd.DataFrame(rows)
+
+    work = tempfile.mkdtemp(prefix="tdigest_win_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, pdf, "b1")
+        stream = (spark.readStream
+                  .schema("ts timestamp, g string, x double")
+                  .parquet(in_dir))
+        windowed = with_event_window(stream, "ts", "2 minutes",
+                                     watermark="10 minutes")
+        digests = tdigest_stream_aggregate(windowed, "x", ["win", "g"])
+        q = (digests.writeStream.format("memory").queryName("win_stream")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from win_stream").collect()
+        assert len(got) == 2  # two event-time windows
+        by_start = {r.win.start.minute: r for r in got}
+        assert set(by_start) == {0, 2}
+        for start_min, center in ((0, 0.0), (2, 10.0)):
+            r = by_start[start_min]
+            assert r["count"] == 1000.0
+            d = digest_from_cells(r.means, r.weights, r.dmin, r.dmax, 100.0, "k2")
+            assert abs(d.quantile(0.5) - center) < 0.2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
