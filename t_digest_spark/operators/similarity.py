@@ -48,43 +48,71 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "corpus_id", "rank", "cosine"))
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic random hyperplanes (fixed seed — reproducible bucketing)."""
-    rng = np.random.default_rng(0xD16E57)
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed per table —
+    reproducible bucketing, independent tables)."""
+    rng = np.random.default_rng(0xD16E57 + 0x9E37 * table)
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
-               vec_col: str = "embedding") -> DataFrame:
-    """Sign-LSH bucket id per row: bit b set iff dot(vec, plane_b) > 0.
-    Pure column algebra — the planes are literals folded into the plan."""
-    planes = _hyperplanes(dim, n_planes)
+def _bucket_expr(v, planes: np.ndarray):
     bucket = F.lit(0).cast("long")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for b in range(n_planes):
+    for b in range(planes.shape[0]):
         proj = F.aggregate(
             F.zip_with(v, F.array(*[F.lit(float(c)) for c in planes[b]]),
                        lambda x, y: x * y),
             F.lit(0.0), lambda acc, val: acc + val)
         bucket = bucket + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn("lsh_bucket", bucket)
+    return bucket
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
+               vec_col: str = "embedding", n_tables: int = 1) -> DataFrame:
+    """Sign-LSH bucketing: bit b set iff dot(vec, plane_b) > 0.
+
+    Single-table sign-LSH has recall (1 - theta/pi)^n_planes per true
+    neighbor — poor for moderate angles — so the scale path uses
+    ``n_tables`` independent plane sets and unions their buckets (recall
+    1-(1-p)^T): one row per (vector, table), pure column algebra, planes
+    folded into the plan as literals.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if n_tables == 1:
+        return df.withColumn("lsh_table", F.lit(0)).withColumn(
+            "lsh_bucket", _bucket_expr(v, _hyperplanes(dim, n_planes, 0)))
+    pairs = F.array(*[
+        F.struct(F.lit(t).alias("lsh_table"),
+                 _bucket_expr(v, _hyperplanes(dim, n_planes, t)).alias("lsh_bucket"))
+        for t in range(n_tables)])
+    return (df.withColumn("__tb__", F.explode(pairs))
+            .withColumn("lsh_table", F.col("__tb__.lsh_table"))
+            .withColumn("lsh_bucket", F.col("__tb__.lsh_bucket"))
+            .drop("__tb__"))
 
 
 def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64,
-             n_planes: int = 8) -> DataFrame:
-    """Approximate all-pairs top-k: exact cosine re-rank *within* LSH buckets.
-    Recall measured against brute_force_topk in tests."""
-    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col).select(
-        F.col(id_col), "_vec", "_norm", "lsh_bucket")
+             n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Approximate all-pairs top-k: exact cosine re-rank *within* the union
+    of multi-table LSH buckets. Recall measured against brute_force_topk in
+    tests (planted-cluster corpus)."""
+    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col,
+                   n_tables=n_tables).select(
+        F.col(id_col), "_vec", "_norm", "lsh_table", "lsh_bucket")
     l = b.alias("l")
     r = b.alias("r")
-    scored = (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
-                     & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
-              .select(F.col(f"l.{id_col}").alias("query_id"),
-                      F.col(f"r.{id_col}").alias("corpus_id"),
-                      (_dot(F.col("l._vec"), F.col("r._vec"))
-                       / (F.col("l._norm") * F.col("r._norm"))).alias("cosine")))
+    cand = (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
+                   & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                   & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("query_id"),
+                    F.col(f"r.{id_col}").alias("corpus_id"),
+                    F.col("l._vec").alias("_qv"), F.col("l._norm").alias("_qn"),
+                    F.col("r._vec").alias("_cv"), F.col("r._norm").alias("_cn"))
+            .dropDuplicates(["query_id", "corpus_id"]))
+    scored = cand.select(
+        "query_id", "corpus_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+         ).alias("cosine"))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -94,16 +122,20 @@ def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, n_planes: int = 8) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, LSH-blocked."""
-    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col).select(
-        F.col(id_col), "_vec", "_norm", "lsh_bucket")
+                        dim: int = 64, n_planes: int = 8,
+                        n_tables: int = 4) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, multi-table LSH-blocked."""
+    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col,
+                   n_tables=n_tables).select(
+        F.col(id_col), "_vec", "_norm", "lsh_table", "lsh_bucket")
     l = b.alias("l")
     r = b.alias("r")
-    return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+    return (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
+                   & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .withColumn("cosine", _dot(F.col("l._vec"), F.col("r._vec"))
-                        / (F.col("l._norm") * F.col("r._norm")))
-            .where(F.col("cosine") >= threshold)
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"), "cosine"))
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    (_dot(F.col("l._vec"), F.col("r._vec"))
+                     / (F.col("l._norm") * F.col("r._norm"))).alias("cosine"))
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("cosine") >= threshold))

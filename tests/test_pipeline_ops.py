@@ -1,0 +1,211 @@
+"""Pipeline operators (dedup / similarity / text / multimodal): direct tests
+with constructed inputs and Python oracles — the planted-duplicate recall
+checks the entry queries can't express."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from t_digest_spark.operators.dedup import (char_shingles, dedup_exact,
+                                            minhash_lsh_candidates,
+                                            ngram_jaccard_pairs, simhash,
+                                            simhash_near_dups)
+from t_digest_spark.operators.multimodal import (decode_stub, extract_features,
+                                                 frame_sample, synthetic_media)
+from t_digest_spark.operators.similarity import (brute_force_topk, lsh_topk,
+                                                 with_norm)
+from t_digest_spark.operators.text import (fingerprint, lang_id, quality_score,
+                                           token_count)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from t_digest_spark.plans import get_spark
+    s = get_spark("pipeline-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+# --------------------------------------------------------------------- dedup
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+
+def test_dedup_exact_classes(spark):
+    texts = ["alpha beta", "alpha beta", "gamma", "alpha beta", "delta"]
+    out = {r.doc_id: r for r in dedup_exact(_docs(spark, texts)).collect()}
+    assert set(out) == {0, 2, 4}           # lowest id survives per class
+    assert out[0].dup_count == 3
+    assert out[2].dup_count == 1
+    sha = hashlib.sha256(b"alpha beta").hexdigest()
+    assert out[0].content_sha == sha
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "abcdefgh"
+    b = "abcdefxy"
+    df = _docs(spark, [a, b])
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    # python oracle on distinct character trigrams
+    sa = {a[i:i + 3] for i in range(len(a) - 2)}
+    sb = {b[i:i + 3] for i in range(len(b) - 2)}
+    want = len(sa & sb) / len(sa | sb)
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(want)
+
+
+def _near_dup_corpus(rng, n_base=40, n_pairs=10):
+    """Base docs of random words; for n_pairs of them add a copy with one
+    word changed (high Jaccard near-dup)."""
+    words = [f"w{i:03d}" for i in range(300)]
+    texts = []
+    for i in range(n_base):
+        texts.append(" ".join(rng.choice(words, 60)))
+    for i in range(n_pairs):
+        toks = texts[i].split()
+        toks[7] = "CHANGED"
+        texts.append(" ".join(toks))
+    truth = {(i, n_base + i) for i in range(n_pairs)}
+    return texts, truth
+
+
+def test_minhash_lsh_recall(spark):
+    rng = np.random.default_rng(13)
+    texts, truth = _near_dup_corpus(rng)
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(
+        _docs(spark, texts), num_hashes=64, bands=16, n=5).collect()}
+    found = truth & cands
+    assert len(found) / len(truth) >= 0.9   # banded-LSH recall on ~0.9-Jaccard pairs
+    # precision sanity: candidates shouldn't explode to all pairs
+    assert len(cands) < 200
+
+
+def test_simhash_near_dups_planted(spark):
+    rng = np.random.default_rng(29)
+    texts, truth = _near_dup_corpus(rng)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(
+        _docs(spark, texts), max_hamming=6).collect()}
+    hit = sum(1 for t in truth if t in pairs)
+    assert hit / len(truth) >= 0.9
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_simhash_identical_is_zero(spark):
+    s = simhash(_docs(spark, ["same text here", "same text here"]))
+    vals = [r.simhash for r in s.collect()]
+    assert vals[0] == vals[1]
+
+
+# ---------------------------------------------------------------- similarity
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs]}))
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 16))
+    df = _emb(spark, vecs)
+    out = brute_force_topk(df, df.where(F.col("vec_id") < 5), k=3)
+    got = {(r.query_id, r.rank): r.corpus_id for r in out.collect()}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qi in range(5):
+        order = sorted((j for j in range(30) if j != qi),
+                       key=lambda j: (-sims[qi, j], j))
+        for rank, j in enumerate(order[:3], start=1):
+            assert got[(qi, rank)] == j, (qi, rank)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Planted-cluster corpus (true neighbors at cosine ~0.95): multi-table
+    sign-LSH must recover most brute-force top-k pairs. Purely random
+    gaussian data has no meaningful neighbors (best cosine ~0.4 at n=200,
+    d=64) and single-table recall is (1-theta/pi)^planes ~ 0.04 — which is
+    why both the operator default and this test use several tables."""
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((40, 64))
+    vecs = np.vstack([c + 0.18 * rng.standard_normal((5, 64)) for c in centers])
+    df = _emb(spark, vecs)
+    exact = {(r.query_id, r.corpus_id)
+             for r in brute_force_topk(df, df, k=4).collect()}
+    approx = {(r.query_id, r.corpus_id)
+              for r in lsh_topk(df, k=4, dim=64, n_planes=8, n_tables=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.8, recall
+
+
+# ----------------------------------------------------------------------- text
+
+def test_token_count_oracle(spark):
+    t = "hello world, this is a test!"
+    row = token_count(_docs(spark, [t])).collect()[0]
+    assert row.ws_tokens == 6
+    assert row.n_chars_computed == len(t)
+
+
+def test_lang_id_markers(spark):
+    rows = lang_id(_docs(spark, [
+        "the cat and the dog of a house",
+        "el perro y la casa de que hablamos y el gato",
+        "der Hund und die Katze ist das Haus",
+    ])).collect()
+    assert [r.pred_lang for r in sorted(rows, key=lambda r: r.doc_id)] == \
+        ["en", "es", "de"]
+
+
+def test_quality_score_ranges(spark):
+    rows = quality_score(_docs(spark, [
+        "the quick brown fox jumps over the lazy dog",
+        "!!! ??? ### $$$ %%%",
+    ])).collect()
+    good, bad = sorted(rows, key=lambda r: r.doc_id)
+    assert good.stopword_ratio > bad.stopword_ratio
+    assert bad.punct_ratio > 0.5 > good.punct_ratio
+
+
+def test_fingerprint_determinism(spark):
+    rows = fingerprint(_docs(spark, ["abc", "abc", "abd"])).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].fp_full == by_id[1].fp_full
+    assert by_id[0].fp_full != by_id[2].fp_full
+    assert by_id[0].content_sha == hashlib.sha256(b"abc").hexdigest()
+
+
+# ----------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark.range(0, 50), kind="image")
+    feats = extract_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 50
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = extract_features(synthetic_media(spark.range(0, 50), kind="image"),
+                             dim=8, fake=True).collect()
+    a = {r.media_id: list(r.feature) for r in feats}
+    b = {r.media_id: list(r.feature) for r in again}
+    assert a == b
+
+
+def test_frame_sample_counts(spark):
+    media = synthetic_media(spark.range(0, 32), kind="video")
+    frames = frame_sample(media, every_n=4)
+    got = {r.media_id: r.n for r in
+           frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for mid in range(32):
+        n_frames = 1 + (mid % 16)
+        assert got[mid] == (n_frames - 1) // 4 + 1, mid
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_stub(b"bytes", "image")
