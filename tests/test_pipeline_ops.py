@@ -209,3 +209,15 @@ def test_frame_sample_counts(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_stub(b"bytes", "image")
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((60, 64))
+    dups = base[:12] + 0.02 * rng.standard_normal((12, 64))  # cosine ~0.999
+    df = _emb(spark, np.vstack([base, dups]))
+    from t_digest_spark.operators.similarity import embedding_near_dups
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(
+        df, threshold=0.95, dim=64, n_planes=8, n_tables=4).collect()}
+    truth = {(i, 60 + i) for i in range(12)}
+    assert len(truth & pairs) / len(truth) >= 0.9
