@@ -287,6 +287,40 @@ def q_histogram_doc_p50(spark, sf_dir):
     return hist.select("lang", histogram_quantile(_DOC_HIST, 0.5).alias("p50"))
 
 
+def q_kll_exact_orders(spark, sf_dir):
+    """KLL in the exact regime (k >= group size: nothing compacts, quantiles
+    are exact order statistics) — sketch query with a SQL oracle, mirroring
+    the t-digest singleton-regime query."""
+    from t_digest_spark.sketches.spark import kll_aggregate, kll_quantile_udf
+    orders = _t(spark, sf_dir, "orders")
+    max_n = orders.groupBy("o_orderpriority").count().agg(
+        F.max("count")).collect()[0][0]
+    k = int(max_n + 10)
+    sk = kll_aggregate(orders, "o_totalprice", ["o_orderpriority"], k=k)
+    cols = ("items", "offsets", "kmin", "kmax", "count")
+    return sk.select(
+        "o_orderpriority",
+        kll_quantile_udf(0.25, k)(*cols).alias("p25"),
+        kll_quantile_udf(0.50, k)(*cols).alias("p50"),
+        kll_quantile_udf(0.75, k)(*cols).alias("p75"))
+
+
+def q_bloom_orders_custkeys(spark, sf_dir):
+    """Bloom membership is deterministic on members (no false negatives):
+    probing only keys known to be in the filter yields all-true, so the
+    flagged count equals the probed count — SQL-oracle-able."""
+    from t_digest_spark.sketches.spark import bloom_aggregate, bloom_contains
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    bf = bloom_aggregate(orders, "o_custkey", m_bits=1 << 20, k=5)
+    members = (cust.join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                         "c_custkey")
+               .select("c_custkey"))
+    out = bloom_contains(bf, members, "c_custkey")
+    return out.agg(F.count(F.lit(1)).alias("n_probed"),
+                   F.sum(F.col("bloom_contains").cast("long")).alias("n_flagged"))
+
+
 # ------------------------------------------------------- rows-only (sketch)
 
 def q_tdigest_price_quantiles(spark, sf_dir):
@@ -374,6 +408,45 @@ def q_digest_compare_flags(spark, sf_dir):
                                "means", "weights", "dmin", "dmax").alias("chi2_vs_N")))
 
 
+def q_kll_events_quantiles(spark, sf_dir):
+    """KLL at production k=200: per-type quantile estimates (rank-error bound
+    ~1.65%, gated in tests/test_sketches.py)."""
+    from t_digest_spark.sketches.spark import kll_aggregate, kll_quantile_udf
+    ev = _t(spark, sf_dir, "events")
+    sk = kll_aggregate(ev, "value", ["event_type"])
+    cols = ("items", "offsets", "kmin", "kmax", "count")
+    return sk.select("event_type", F.col("count").alias("n"),
+                     kll_quantile_udf(0.5)(*cols).alias("p50"),
+                     kll_quantile_udf(0.99)(*cols).alias("p99"))
+
+
+def q_countmin_hot_users(spark, sf_dir):
+    """Count-min frequency estimates for the 10 most active users (estimate
+    >= truth always; bound e*n/w gated in tests)."""
+    from t_digest_spark.sketches.spark import (countmin_aggregate,
+                                               countmin_estimate)
+    ev = _t(spark, sf_dir, "events")
+    cm = countmin_aggregate(ev, "user_id", d=5, w=8192)
+    hot = (ev.groupBy("user_id").count()
+           .orderBy(F.desc("count"), F.asc("user_id")).limit(10)
+           .select("user_id", F.col("count").alias("true_count")))
+    return countmin_estimate(cm, hot, "user_id").select(
+        "user_id", "true_count", "cm_estimate",
+        (F.col("cm_estimate") >= F.col("true_count")).alias("never_under"))
+
+
+def q_hll_distinct_users(spark, sf_dir):
+    """Native DataSketches HLL distinct-count per event type + merged total
+    (built-in hll_sketch_agg/hll_union_agg — the idiomatic Spark answer)."""
+    from t_digest_spark.sketches.spark import (hll_aggregate, hll_estimate_col,
+                                               hll_merge)
+    ev = _t(spark, sf_dir, "events")
+    per_type = hll_aggregate(ev, "user_id", ["event_type"], lgk=12)
+    merged = hll_merge(per_type, None).select(
+        F.lit("ALL").alias("event_type"), hll_estimate_col())
+    return per_type.select("event_type", hll_estimate_col()).unionByName(merged)
+
+
 def q_streaming_digest_events(spark, sf_dir):
     """Structured Streaming surface in the driver contract: file-source stream
     over the events table (one file per trigger), stateful per-type digest via
@@ -453,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_cdf": q_histogram_events_cdf,
         "rollup_revenue": q_rollup_revenue,
         "frame_sample": q_frame_sample,
+        "kll_exact_orders": q_kll_exact_orders,
+        "bloom_orders_custkeys": q_bloom_orders_custkeys,
         # rows-only (sketch estimates / seeded approximations)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
@@ -462,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "digest_compare_flags": q_digest_compare_flags,
+        "kll_events_quantiles": q_kll_events_quantiles,
+        "countmin_hot_users": q_countmin_hot_users,
+        "hll_distinct_users": q_hll_distinct_users,
         "streaming_digest_events": q_streaming_digest_events,
         "multimodal_features": q_multimodal_features,
     }
@@ -655,6 +733,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             WHERE cum >= 0.5 * n
             GROUP BY lang
+        """,
+        "kll_exact_orders": """
+            SELECT o_orderpriority,
+                   srt[cast(ceiling(0.25 * n) as int)] AS p25,
+                   srt[cast(ceiling(0.50 * n) as int)] AS p50,
+                   srt[cast(ceiling(0.75 * n) as int)] AS p75
+            FROM (SELECT o_orderpriority, list_sort(list(o_totalprice)) AS srt,
+                         count(*) AS n
+                  FROM orders GROUP BY o_orderpriority)
+        """,
+        "bloom_orders_custkeys": """
+            SELECT count(*) AS n_probed, count(*) AS n_flagged
+            FROM (SELECT DISTINCT c_custkey
+                  FROM customer JOIN orders ON c_custkey = o_custkey)
         """,
         "histogram_events_cdf": """
             SELECT event_type,
