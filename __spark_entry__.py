@@ -420,6 +420,20 @@ def q_kll_events_quantiles(spark, sf_dir):
                      kll_quantile_udf(0.99)(*cols).alias("p99"))
 
 
+def q_req_tail_quantiles(spark, sf_dir):
+    """REQ sketch (the reference's KDD'21 subject): extreme-tail price
+    quantiles with RELATIVE rank-error guarantee — p999/p9999 stay ~1%
+    relative to the tail mass where additive-error sketches blur."""
+    from t_digest_spark.sketches.spark import req_aggregate, req_quantile_udf
+    li = _t(spark, sf_dir, "lineitem")
+    sk = req_aggregate(li, "l_extendedprice", None, k=12, hra=True)
+    cols = ("items", "offsets", "states", "rmin", "rmax", "count")
+    return sk.select(F.col("count").alias("n"),
+                     req_quantile_udf(0.99)(*cols).alias("p99"),
+                     req_quantile_udf(0.999)(*cols).alias("p999"),
+                     req_quantile_udf(0.9999)(*cols).alias("p9999"))
+
+
 def q_countmin_hot_users(spark, sf_dir):
     """Count-min frequency estimates for the 10 most active users (estimate
     >= truth always; bound e*n/w gated in tests)."""
@@ -538,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "digest_compare_flags": q_digest_compare_flags,
         "kll_events_quantiles": q_kll_events_quantiles,
+        "req_tail_quantiles": q_req_tail_quantiles,
         "countmin_hot_users": q_countmin_hot_users,
         "hll_distinct_users": q_hll_distinct_users,
         "streaming_digest_events": q_streaming_digest_events,

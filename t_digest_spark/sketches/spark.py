@@ -285,3 +285,83 @@ def hll_merge(hll_df: DataFrame,
 
 def hll_estimate_col() -> Column:
     return F.hll_sketch_estimate("hll").alias("distinct_estimate")
+
+
+# ------------------------------------------------------------------------ REQ
+
+REQ_FIELDS = ("items array<double>, offsets array<int>, states array<long>, "
+              "rmin double, rmax double, count double")
+
+
+def req_aggregate(df: DataFrame, value_col: str,
+                  group_cols: Optional[Sequence[str]] = None,
+                  k: int = 12, hra: bool = True) -> DataFrame:
+    """Relative-error quantile sketch per group (REQ, sketches/req.py):
+    partial build per partition, exact mergeable reduce — tail quantiles
+    (p999, p9999) keep ~1% RELATIVE rank error no matter how extreme."""
+    from t_digest_spark.sketches.req import ReqSketch
+    group_cols = list(group_cols or [])
+    proj = df.select(*group_cols, F.col(value_col).cast("double").alias("__x__")) \
+             .where(F.col("__x__").isNotNull() & ~F.isnan("__x__"))
+    schema = _group_prefix(proj, group_cols) + REQ_FIELDS
+    out_cols = ["items", "offsets", "states", "rmin", "rmax", "count"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk, keys = {}, {}
+        for pdf in batches:
+            vals = pdf["__x__"].to_numpy(dtype=np.float64)
+            if group_cols:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[group_cols])
+                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                for gi in range(len(uniques)):
+                    key = uniques[gi]
+                    s = sk.get(key)
+                    if s is None:
+                        s = sk[key] = ReqSketch(k, hra)
+                        keys[key] = key if len(group_cols) > 1 else (key,)
+                    s.update_values(vals[codes == gi])
+            else:
+                s = sk.get(_GLOBAL)
+                if s is None:
+                    s = sk[_GLOBAL] = ReqSketch(k, hra)
+                    keys[_GLOBAL] = ()
+                s.update_values(vals)
+        if sk:
+            yield pd.DataFrame([tuple(keys[key]) + s.to_row()
+                                for key, s in sk.items()],
+                               columns=group_cols + out_cols)
+
+    partials = proj.mapInPandas(build, schema)
+
+    gb = list(group_cols)
+    added = False
+    if not gb:
+        partials = partials.withColumn(_GLOBAL, F.lit(1))
+        gb = [_GLOBAL]
+        added = True
+    out_schema = _group_prefix(partials, gb) + REQ_FIELDS
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [ReqSketch.from_row(r["items"], r["offsets"], r["states"],
+                                    r["rmin"], r["rmax"], r["count"],
+                                    k=k, hra=hra)
+                 for _, r in pdf.iterrows()]
+        s = ReqSketch.merge_all(parts)
+        head = tuple(pdf[c].iloc[0] for c in gb)
+        return pd.DataFrame([head + s.to_row()], columns=gb + out_cols)
+
+    out = partials.groupBy(*gb).applyInPandas(merge_fn, out_schema)
+    return out.drop(_GLOBAL) if added else out
+
+
+def req_quantile_udf(q: float, k: int = 12, hra: bool = True):
+    from t_digest_spark.sketches.req import ReqSketch
+
+    @pandas_udf("double")
+    def _q(items: pd.Series, offsets: pd.Series, states: pd.Series,
+           rmin: pd.Series, rmax: pd.Series, count: pd.Series) -> pd.Series:
+        return pd.Series([
+            ReqSketch.from_row(i, o, st, lo, hi, n, k=k, hra=hra).quantile(q)
+            for i, o, st, lo, hi, n in zip(items, offsets, states, rmin, rmax, count)])
+    return _q

@@ -205,3 +205,56 @@ def test_hll_spark(spark):
         assert abs(est - 5000) / 5000 < 0.05, (g, est)
     merged = hll_merge(per_g, None).select(hll_estimate_col()).collect()[0]
     assert abs(merged.distinct_estimate - 20_000) / 20_000 < 0.05
+
+
+# -------------------------------------------------------------------- REQ
+
+def test_req_relative_error_bound():
+    from t_digest_spark.sketches.req import ReqSketch
+    rng = np.random.default_rng(17)
+    data = rng.exponential(1.0, 300_000)
+    srt = np.sort(data)
+    s = ReqSketch.from_values(data)  # k=12, hra
+    for q in (0.9, 0.99, 0.999, 0.9999):
+        rank = np.searchsorted(srt, s.quantile(q)) / len(srt)
+        # HRA guarantee shape: error relative to the tail mass
+        assert abs(rank - q) / (1 - q) < 0.1, (q, rank)
+    assert s.quantile(1.0) == srt[-1]
+    assert s.num_retained < 4000
+
+
+def test_req_merge_and_guards():
+    from t_digest_spark.sketches.req import ReqSketch
+    rng = np.random.default_rng(23)
+    data = rng.normal(0, 1, 100_000)
+    srt = np.sort(data)
+    parts = [ReqSketch.from_values(c) for c in np.array_split(data, 16)]
+    m = ReqSketch.merge_all(parts)
+    assert m.n == len(data)
+    for q in (0.99, 0.999):
+        rank = np.searchsorted(srt, m.quantile(q)) / len(srt)
+        assert abs(rank - q) / (1 - q) < 0.15, q
+    with pytest.raises(ValueError):
+        ReqSketch(hra=True).merge(ReqSketch(hra=False))
+    with pytest.raises(ValueError):
+        ReqSketch().update_values([float("nan")])
+
+
+def test_req_spark_aggregate(spark):
+    from t_digest_spark.sketches.spark import req_aggregate, req_quantile_udf
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame({"g": np.repeat(["a", "b"], 40_000),
+                        "x": np.concatenate([rng.exponential(1, 40_000),
+                                             rng.lognormal(0, 2, 40_000)])})
+    df = spark.createDataFrame(pdf).repartition(4)
+    cols = ("items", "offsets", "states", "rmin", "rmax", "count")
+    rows = {r.g: r for r in req_aggregate(df, "x", ["g"]).select(
+        "g", "count",
+        req_quantile_udf(0.999)(*cols).alias("p999"),
+        req_quantile_udf(0.9999)(*cols).alias("p9999")).collect()}
+    for g in ("a", "b"):
+        vals = np.sort(pdf[pdf.g == g].x.to_numpy())
+        assert rows[g]["count"] == 40_000.0
+        for col, q in (("p999", 0.999), ("p9999", 0.9999)):
+            rank = np.searchsorted(vals, rows[g][col]) / len(vals)
+            assert abs(rank - q) / (1 - q) < 0.5, (g, q, rank)
