@@ -74,3 +74,44 @@ def with_quantiles(digest_df, quantiles: dict, delta: float = 100.0,
 
 def centroid_count_col() -> Column:
     return F.size("means").alias("centroid_count")
+
+
+def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
+    """Expose the digest query surface to pure-SQL users:
+
+        SELECT lang, tdigest_quantile(means, weights, dmin, dmax, 0.5) AS p50
+        FROM digests
+
+    Quantile/cdf/trimmed-mean take the digest columns plus literal
+    parameters; delta/scale are fixed at registration (job-level parameters,
+    like the aggregation that produced the rows).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def tdigest_quantile(means: pd.Series, weights: pd.Series, dmin: pd.Series,
+                         dmax: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([
+            digest_from_cells(m, w, lo, hi, delta, scale).quantile(float(qq))
+            for m, w, lo, hi, qq in zip(means, weights, dmin, dmax, q)])
+
+    @pandas_udf("double")
+    def tdigest_cdf(means: pd.Series, weights: pd.Series, dmin: pd.Series,
+                    dmax: pd.Series, x: pd.Series) -> pd.Series:
+        return pd.Series([
+            digest_from_cells(m, w, lo, hi, delta, scale).cdf(float(xx))
+            for m, w, lo, hi, xx in zip(means, weights, dmin, dmax, x)])
+
+    @pandas_udf("double")
+    def tdigest_trimmed_mean(means: pd.Series, weights: pd.Series,
+                             dmin: pd.Series, dmax: pd.Series,
+                             lo_q: pd.Series, hi_q: pd.Series) -> pd.Series:
+        return pd.Series([
+            digest_from_cells(m, w, lo, hi, delta, scale).trimmed_mean(
+                float(a), float(b))
+            for m, w, lo, hi, a, b in zip(means, weights, dmin, dmax, lo_q, hi_q)])
+
+    spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("tdigest_cdf", tdigest_cdf)
+    spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)

@@ -174,3 +174,21 @@ def test_fused_quantile_aggregate(spark):
     # global (no group) path
     tot = tdigest_quantile_aggregate(df, "x", None, quantiles={"p50": 0.5}).collect()
     assert len(tot) == 1 and tot[0]["count"] == 8000.0
+
+
+def test_sql_registered_functions(spark):
+    """Pure-SQL surface: digest rows queryable with registered UDFs."""
+    from t_digest_spark.functions import register_sql_functions
+    from t_digest_spark.operators import tdigest_aggregate
+    register_sql_functions(spark)
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(pd.DataFrame({"x": rng.uniform(0, 100, 20000)}))
+    tdigest_aggregate(df, "x", None).createOrReplaceTempView("dig")
+    row = spark.sql("""
+        SELECT tdigest_quantile(means, weights, dmin, dmax, 0.5) AS p50,
+               tdigest_cdf(means, weights, dmin, dmax, 25.0) AS c25,
+               tdigest_trimmed_mean(means, weights, dmin, dmax, 0.25, 0.75) AS iqm
+        FROM dig""").collect()[0]
+    assert abs(row.p50 - 50.0) < 2.0
+    assert abs(row.c25 - 0.25) < 0.02
+    assert abs(row.iqm - 50.0) < 2.0
