@@ -16,13 +16,20 @@ Layout:
   operators/similarity   embedding similarity search (brute-force + LSH-bucketed)
   operators/text         language-id, quality scoring, token counts, fingerprints
   operators/multimodal   binary-column plumbing (decode stubbed; schema real)
+  operators/histogram    fixed-bin mergeable histograms (log/linear)
+  operators/checkpoint   resumable parquet digest checkpoints with lineage
+  sketches/              KLL + REQ quantile sketches, count-min, Bloom, HLL wrappers
+  streaming/             applyInPandasWithState digest accumulation + windows
   sources/               deterministic synthetic source-code table + parquet readers
-  functions/             scalar query helpers exposed as pandas UDFs
+  functions/             scalar query UDFs + comparison stats + SQL registration
   plans/                 SparkSession builders with scale-oriented confs
 """
 
 from t_digest_spark.core import TDigest, Dist
 from t_digest_spark.scales import SCALES
+from t_digest_spark.sketches import BloomFilter, CountMinSketch, KllSketch
+from t_digest_spark.sketches.req import ReqSketch
 
-__all__ = ["TDigest", "Dist", "SCALES"]
+__all__ = ["TDigest", "Dist", "SCALES", "KllSketch", "ReqSketch",
+           "CountMinSketch", "BloomFilter"]
 __version__ = "0.1.0"

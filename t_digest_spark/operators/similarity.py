@@ -96,23 +96,27 @@ def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     """Approximate all-pairs top-k: exact cosine re-rank *within* the union
     of multi-table LSH buckets. Recall measured against brute_force_topk in
     tests (planted-cluster corpus)."""
-    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col,
-                   n_tables=n_tables).select(
-        F.col(id_col), "_vec", "_norm", "lsh_table", "lsh_bucket")
+    base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
+        F.col(id_col), "lsh_table", "lsh_bucket")
     l = b.alias("l")
     r = b.alias("r")
+    # candidate id-pairs stay NARROW through the join + dedupe shuffles;
+    # vectors rejoin afterwards (corpus-row scale, not pair scale)
     cand = (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
                    & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
                    & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("query_id"),
-                    F.col(f"r.{id_col}").alias("corpus_id"),
-                    F.col("l._vec").alias("_qv"), F.col("l._norm").alias("_qn"),
-                    F.col("r._vec").alias("_cv"), F.col("r._norm").alias("_cn"))
+                    F.col(f"r.{id_col}").alias("corpus_id"))
             .dropDuplicates(["query_id", "corpus_id"]))
-    scored = cand.select(
-        "query_id", "corpus_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-         ).alias("cosine"))
+    qa = base.select(F.col(id_col).alias("query_id"),
+                     F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"))
+    ca = base.select(F.col(id_col).alias("corpus_id"),
+                     F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn"))
+    scored = (cand.join(qa, "query_id").join(ca, "corpus_id")
+              .select("query_id", "corpus_id",
+                      (_dot(F.col("_qv"), F.col("_cv"))
+                       / (F.col("_qn") * F.col("_cn"))).alias("cosine")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -125,17 +129,25 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         dim: int = 64, n_planes: int = 8,
                         n_tables: int = 4) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, multi-table LSH-blocked."""
-    b = lsh_bucket(with_norm(df, vec_col), dim, n_planes, vec_col,
-                   n_tables=n_tables).select(
-        F.col(id_col), "_vec", "_norm", "lsh_table", "lsh_bucket")
+    base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
+    b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
+        F.col(id_col), "lsh_table", "lsh_bucket")
     l = b.alias("l")
     r = b.alias("r")
-    return (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
+    # narrow id-pair dedupe first (a pair colliding in several tables would
+    # otherwise be scored n_tables times), vectors rejoin at pair scale
+    cand = (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
                    & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    (_dot(F.col("l._vec"), F.col("r._vec"))
-                     / (F.col("l._norm") * F.col("r._norm"))).alias("cosine"))
-            .dropDuplicates(["id_a", "id_b"])
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    aa = base.select(F.col(id_col).alias("id_a"),
+                     F.col("_vec").alias("_va"), F.col("_norm").alias("_na"))
+    bb = base.select(F.col(id_col).alias("id_b"),
+                     F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb"))
+    return (cand.join(aa, "id_a").join(bb, "id_b")
+            .select("id_a", "id_b",
+                    (_dot(F.col("_va"), F.col("_vb"))
+                     / (F.col("_na") * F.col("_nb"))).alias("cosine"))
             .where(F.col("cosine") >= threshold))
