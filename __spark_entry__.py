@@ -50,20 +50,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-lang t-digest of length(text) over documents at sf0.001 —
     the north-rule shape (content-derived numeric -> mergeable digest ->
-    quantile queries)."""
+    quantile queries), on the optimal plan: integral lengths pre-aggregate
+    JVM-side before the Arrow boundary and quantiles evaluate inside the
+    merge task (PLANS.md §2-3)."""
+    from t_digest_spark.operators import tdigest_quantile_aggregate
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents").select(
         "lang", F.length("text").cast("double").alias("x"))
-    dig = tdigest_aggregate(docs, "x", ["lang"], delta=100.0, scale="k2")
-    return dig.select(
+    out = tdigest_quantile_aggregate(
+        docs, "x", ["lang"],
+        quantiles={"p50": 0.5, "p99": 0.99, "p999": 0.999},
+        trimmed={"trimmed_mean_5_95": (0.05, 0.95)},
+        delta=100.0, scale="k2", pre_aggregate=True)
+    return out.select(
         "lang",
         F.col("count").alias("n_docs"),
         F.col("dmin").alias("min_len"),
         F.col("dmax").alias("max_len"),
-        quantile_udf(0.5)(*_D).alias("p50"),
-        quantile_udf(0.99)(*_D).alias("p99"),
-        quantile_udf(0.999)(*_D).alias("p999"),
-        trimmed_mean_udf(0.05, 0.95)(*_D).alias("trimmed_mean_5_95"),
+        "p50", "p99", "p999", "trimmed_mean_5_95",
     ).orderBy("lang")
 
 

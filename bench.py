@@ -30,25 +30,18 @@ def run_flagship(spark, sf_dir: str) -> dict:
     """Flagship digest job: per-returnflag digest of l_extendedprice over
     lineitem + global digest over events.value. Returns wall time, input rows,
     and rank-error of the global digest vs the exact order statistic."""
-    from t_digest_spark.functions import quantile_udf
-    from t_digest_spark.operators.aggregation import tdigest_aggregate
+    from t_digest_spark.operators.aggregation import tdigest_quantile_aggregate
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_rows = li.count() + ev.count()
 
+    qs = {"p50": 0.5, "p99": 0.99, "p999": 0.999}
     t0 = time.perf_counter()
-    d1 = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
-    r1 = d1.select("l_returnflag",
-                   quantile_udf(0.5)("means", "weights", "dmin", "dmax").alias("p50"),
-                   quantile_udf(0.99)("means", "weights", "dmin", "dmax").alias("p99"),
-                   quantile_udf(0.999)("means", "weights", "dmin", "dmax").alias("p999"),
-                   ).collect()
-    d2 = tdigest_aggregate(ev, "value", None, delta=200.0)
-    r2 = d2.select(quantile_udf(0.5, 200.0)("means", "weights", "dmin", "dmax").alias("p50"),
-                   quantile_udf(0.99, 200.0)("means", "weights", "dmin", "dmax").alias("p99"),
-                   quantile_udf(0.999, 200.0)("means", "weights", "dmin", "dmax").alias("p999"),
-                   ).collect()
+    r1 = tdigest_quantile_aggregate(li, "l_extendedprice", ["l_returnflag"],
+                                    quantiles=qs).collect()
+    r2 = tdigest_quantile_aggregate(ev, "value", None, quantiles=qs,
+                                    delta=200.0).collect()
     wall = time.perf_counter() - t0
 
     # Rank error of the global events digest vs the exact sorted sample
