@@ -370,3 +370,24 @@ def test_careful_attack_stress():
     d = TDigest.from_values(np.array(vals), delta=500, scale="k0")
     qs = d.quantiles(np.linspace(0, 1, 201))
     assert np.all(np.diff(qs) >= 0)
+
+
+def test_mega_merge_thousand_digests():
+    """MegaMerge parity (MegaMergeTest.java:109-142): 1000 partial digests of
+    1500 points each merged in one pass — count conservation, validity
+    invariant, and accuracy within the merge bound."""
+    rng = np.random.default_rng(77)
+    data = rng.gamma(2.0, 1.0, 1_500_000)
+    parts = [TDigest.from_values(c, delta=100.0)
+             for c in np.array_split(data, 1000)]
+    t0 = __import__("time").perf_counter()
+    merged = TDigest.merge_all(parts)
+    wall = __import__("time").perf_counter() - t0
+    assert merged.count == len(data)
+    assert merged.check_weights() == 0
+    srt = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        assert abs(merged.cdf(Dist.quantile(q, srt)) - q) < 0.015, q
+    assert merged.min == srt[0] and merged.max == srt[-1]
+    # one-pass k-way merge must be fast (concat + single sweep per flush)
+    assert wall < 10.0, wall

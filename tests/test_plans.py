@@ -1,0 +1,90 @@
+"""Physical-plan regression guards: the plan properties PLANS.md documents
+must survive future changes — pushdown, pruning, zero raw-row shuffle,
+broadcast joins, map-side combine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from t_digest_spark.plans import get_spark
+    s = get_spark("plan-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_raw_partial_build_has_no_shuffle(spark, lineitem):
+    """The digest partial build must run on the input partitioning — an
+    Exchange here would shuffle raw rows (the 100 TB anti-pattern)."""
+    from t_digest_spark.operators import tdigest_partial_build
+    plan = _plan(tdigest_partial_build(lineitem, "l_extendedprice", ["l_returnflag"]))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan
+
+
+def test_scan_pushdown_and_pruning(spark, lineitem):
+    from t_digest_spark.operators import tdigest_partial_build
+    filtered = lineitem.where(F.col("l_shipdate") >= "1995-01-01")
+    plan = _plan(tdigest_partial_build(filtered, "l_extendedprice", ["l_returnflag"]))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate," in plan
+    # only the three needed columns reach the scan
+    assert "l_extendedprice:double,l_returnflag:string,l_shipdate" in plan
+
+
+def test_pre_aggregate_hash_agg_before_python(spark, lineitem):
+    """pre_aggregate plan: HashAggregate (map-side combine) must sit BELOW
+    MapInPandas so duplicates collapse before the Arrow boundary."""
+    from t_digest_spark.operators import tdigest_partial_build
+    plan = _plan(tdigest_partial_build(lineitem, "l_extendedprice",
+                                       ["l_returnflag"], pre_aggregate=True))
+    i_map = plan.index("MapInPandas")
+    i_agg = plan.index("HashAggregate")
+    assert i_agg > i_map  # toString prints top-down: aggregate below = after index
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dimension_joins_broadcast(spark):
+    import __spark_entry__ as em
+    df = em.queries()["top_revenue_nations"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_single_aggregate_no_udf(spark):
+    from t_digest_spark.operators.histogram import (HistogramSpec,
+                                                    histogram_aggregate)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec = HistogramSpec(0.0, 8192.0, n_bins=16, kind="linear")
+    plan = _plan(histogram_aggregate(
+        docs.select("lang", F.length("text").alias("len")), "len", ["lang"], spec))
+    assert "HashAggregate" in plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
+                   "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_exact_dedup_no_window(spark):
+    from t_digest_spark.operators.dedup import dedup_exact
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup_exact(docs))
+    assert "Window" not in plan           # min() aggregate, not row_number
+    assert plan.count("HashAggregate") >= 2  # partial+final combine
