@@ -73,20 +73,26 @@ def sizing(compression: float, buffer_size: int = -1, size: int = -1,
 
 def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
                  compression: float, scale, run_backwards: bool = False,
-                 assume_sorted: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+                 assume_sorted: bool = False,
+                 use_weight_limit: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """One merge/compress pass over unsorted (mean, weight) pairs.
 
     Semantics of the reference sweep (MergingDigest.java:413-503): stable sort by
-    mean; greedily grow the current cluster while the weight-limit criterion
-    ``proposed <= total*min(max(q0), max(q2))`` holds (MergingDigest.java:428-436,
-    useWeightLimit default true :104-108); sorted positions 1 and n-1 are forced to
-    start new clusters so the first/last cluster of a unit-weight stream stays a
-    singleton (:440-443); odd passes run backwards to cancel left-to-right bias
-    (:369-371, :408-410, :489-495).
+    mean; greedily grow the current cluster while the size criterion holds;
+    sorted positions 1 and n-1 are forced to start new clusters so the
+    first/last cluster of a unit-weight stream stays a singleton (:440-443);
+    odd passes run backwards to cancel left-to-right bias (:369-371,
+    :408-410, :489-495). Two criteria, matching the reference pair:
 
-    Vectorization: the candidate-membership condition depends only on the cluster
-    start state and the cumulative weight array, so each cluster's extent is found
-    with one boolean window + argmax instead of a per-point loop.
+      * weight limit (default, :104-108, :428-436):
+        ``proposed <= total*min(max(q0), max(q2))``
+      * k limit (:427, :437-439, :463-465): the cluster may extend while
+        ``cum <= total * q(k(q0) + 1)`` — one searchsorted per cluster.
+
+    Vectorization: both conditions depend only on the cluster start state and
+    the cumulative weight array, so each cluster's extent is found with one
+    boolean window + argmax (weight limit) or one searchsorted (k limit)
+    instead of a per-point loop.
     """
     n = means.shape[0]
     if n == 0:
@@ -116,12 +122,17 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
     # O(1) Python iterations instead of O(n).
     c_prev_all = np.concatenate((np.zeros(1), cum[:-1]))  # cum[s-1]
     can2 = np.zeros(n, dtype=bool)
-    prop2 = cum[1:] - c_prev_all[:-1]                     # weight of {s, s+1}
     q0_all = c_prev_all[:-1] / total
-    q2_all = cum[1:] / total
-    lim2 = total * np.minimum(scale.max(q0_all, normalizer),
-                              scale.max(q2_all, normalizer))
-    can2[:-1] = prop2 <= lim2
+    if use_weight_limit:
+        prop2 = cum[1:] - c_prev_all[:-1]                 # weight of {s, s+1}
+        q2_all = cum[1:] / total
+        lim2 = total * np.minimum(scale.max(q0_all, normalizer),
+                                  scale.max(q2_all, normalizer))
+        can2[:-1] = prop2 <= lim2
+    else:
+        # k-limit: absorb while cum <= total*q(k(q0)+1) (MergingDigest.java:427)
+        wlim_all = total * scale.q(scale.k(q0_all, normalizer) + 1.0, normalizer)
+        can2[:-1] = cum[1:] <= wlim_all
     # forced cluster breaks: sorted positions 1 and n-1 always start clusters
     can2[0] = False
     can2[n - 2] = False
@@ -139,6 +150,28 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
             s = r
             continue
         c_prev = float(c_prev_all[s])
+        if not use_weight_limit:
+            # k-limit extent: one searchsorted, no window walk
+            wlim = float(total * scale.q(
+                scale.k(c_prev / total, normalizer) + 1.0, normalizer))
+            e = int(np.searchsorted(cum, wlim, side="right")) - 1
+            e = max(e, s)
+            if s == 0:
+                e = 0                      # position 1 starts a cluster
+            elif s < n - 1:
+                e = min(e, n - 2)          # position n-1 starts a cluster
+            cw = float(cum[e] - c_prev)
+            if e == s:
+                cm = float(m[s])
+            else:
+                pivot = float(m[s])
+                cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
+                lo, hi = (float(m[s]), float(m[e])) if m[s] <= m[e] else (float(m[e]), float(m[s]))
+                cm = min(max(cm, lo), hi)
+            seg_m.append(np.array([cm]))
+            seg_w.append(np.array([cw]))
+            s = e + 1
+            continue
         max_q0 = float(scale.max(c_prev / total, normalizer))
         e = s  # last index included in this cluster
         j0 = s + 1
@@ -198,11 +231,12 @@ class TDigest:
 
     __slots__ = ("means", "weights", "min", "max", "delta", "scale_name", "total",
                  "_internal_delta", "_buffer_cap", "_merge_count",
-                 "_pending_m", "_pending_w", "_pending_n", "use_alternating")
+                 "_pending_m", "_pending_w", "_pending_n", "use_alternating",
+                 "use_weight_limit")
 
     def __init__(self, delta: float = 100.0, scale: str = "k2",
                  buffer_size: int = -1, use_alternating: bool = True,
-                 unnormalized_ok: bool = False):
+                 unnormalized_ok: bool = False, use_weight_limit: bool = True):
         public, internal, _size, buf = sizing(delta, buffer_size=buffer_size)
         self.delta = public
         self._internal_delta = internal
@@ -228,6 +262,8 @@ class TDigest:
         if getattr(sc, "asymmetric", False):
             use_alternating = False
         self.use_alternating = use_alternating
+        # k-limit variant (useWeightLimit=false, MergingDigest.java:104-108)
+        self.use_weight_limit = use_weight_limit
         self._pending_m: List[np.ndarray] = []
         self._pending_w: List[np.ndarray] = []
         self._pending_n = 0
@@ -311,7 +347,8 @@ class TDigest:
         self.means, self.weights = merge_arrays(
             m, w, self.total,
             compression if compression is not None else self._internal_delta,
-            self._scale, run_backwards=backwards, assume_sorted=True)
+            self._scale, run_backwards=backwards, assume_sorted=True,
+            use_weight_limit=self.use_weight_limit)
         if self.total > 0 and self.means.size:
             self.min = min(self.min, float(self.means[0]))
             self.max = max(self.max, float(self.means[-1]))
@@ -372,7 +409,8 @@ class TDigest:
         out.total = float(w.sum())
         if out.total > 0:
             out.means, out.weights = merge_arrays(
-                m, w, out.total, out._internal_delta, out._scale)
+                m, w, out.total, out._internal_delta, out._scale,
+                use_weight_limit=out.use_weight_limit)
         if compress:
             out.compress()
         return out

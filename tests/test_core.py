@@ -391,3 +391,26 @@ def test_mega_merge_thousand_digests():
     assert merged.min == srt[0] and merged.max == srt[-1]
     # one-pass k-way merge must be fast (concat + single sweep per flush)
     assert wall < 10.0, wall
+
+
+def test_k_limit_criterion_parity():
+    """The k-limit variant (useWeightLimit=false, MergingDigest.java:104-108,
+    :427-465) must satisfy the same validity invariant and accuracy envelope
+    as the default weight limit, with cluster counts in the delta/4..delta
+    band (ScaleFunctionTests cluster-count bound)."""
+    rng = np.random.default_rng(55)
+    data = rng.normal(0, 1, 200_000)
+    srt = np.sort(data)
+    for scale in ("k1", "k2", "k3"):
+        d = TDigest(delta=200.0, scale=scale, use_weight_limit=False)
+        d.add_values(data)
+        d.compress()
+        assert d.check_weights() == 0, scale
+        assert 200 / 4 <= d.centroid_count() <= 2 * 200 + 20, (scale, d.centroid_count())
+        for q in (0.01, 0.5, 0.99):
+            assert abs(d.cdf(Dist.quantile(q, srt)) - q) < 0.015, (scale, q)
+        # parity with the default criterion at the query level
+        dw = TDigest(delta=200.0, scale=scale)
+        dw.add_values(data)
+        for q in (0.1, 0.5, 0.9):
+            assert abs(d.quantile(q) - dw.quantile(q)) < 0.05, (scale, q)
