@@ -41,22 +41,54 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _window_end_ms(key_item) -> int:
+    """Extract window end epoch-millis from a window-struct key item
+    (arrives as a Row/tuple of (start, end) datetimes)."""
+    end = key_item["end"] if hasattr(key_item, "__getitem__") and not isinstance(
+        key_item, (tuple, list)) else key_item[1]
+    if hasattr(key_item, "end"):
+        end = key_item.end
+    return int(end.timestamp() * 1000)
+
+
 def tdigest_stream_aggregate(df: DataFrame, value_col: str,
                              group_cols: Sequence[str],
                              delta: float = 100.0, scale: str = "k2",
-                             timeout: str = GroupStateTimeout.NoTimeout) -> DataFrame:
+                             window_col: Optional[str] = None,
+                             allowed_lateness_ms: int = 0) -> DataFrame:
     """Stateful per-key digest over a streaming DataFrame.
 
     Returns a streaming DataFrame of digest rows (group cols + means/weights/
     dmin/dmax/count) in update mode; each emitted row is a valid mergeable
     digest, so downstream batch jobs can tdigest_merge() them freely.
+
+    Spark does NOT filter late rows for arbitrary stateful operators (the
+    watermark only gates built-in aggregations), so windowed state lifecycle
+    is handled here when ``window_col`` names the window-struct key column
+    (see with_event_window): state registers an event-time timeout at
+    window_end + allowed_lateness; on timeout the state is dropped, and rows
+    arriving for a window already behind the watermark are discarded instead
+    of resurrecting expired state.
     """
     group_cols = list(group_cols)
     by_name = {f.name: f for f in df.schema.fields}
     out_schema = StructType([by_name[c] for c in group_cols] + DIGEST_FIELDS)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
 
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:      # drain: late rows for an expired window
+                    pass
+                return
         d = TDigest(delta=delta, scale=scale)
         if state.exists:
             means, weights, dmin, dmax, count = state.get
@@ -74,6 +106,10 @@ def tdigest_stream_aggregate(df: DataFrame, value_col: str,
         # state round-trips through Pyrolite: native Python types only
         state.update((np.asarray(cells[0]).tolist(), np.asarray(cells[1]).tolist(),
                       float(cells[2]), float(cells[3]), float(cells[4])))
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
         yield pd.DataFrame([tuple(key) + cells],
                            columns=[f.name for f in out_schema.fields])
 

@@ -118,7 +118,8 @@ def test_windowed_stream_digest(spark):
                   .parquet(in_dir))
         windowed = with_event_window(stream, "ts", "2 minutes",
                                      watermark="10 minutes")
-        digests = tdigest_stream_aggregate(windowed, "x", ["win", "g"])
+        digests = tdigest_stream_aggregate(windowed, "x", ["win", "g"],
+                                           window_col="win")
         q = (digests.writeStream.format("memory").queryName("win_stream")
              .outputMode("update")
              .option("checkpointLocation", os.path.join(work, "ck")).start())
@@ -135,5 +136,67 @@ def test_windowed_stream_digest(spark):
             assert r["count"] == 1000.0
             d = digest_from_cells(r.means, r.weights, r.dmin, r.dmax, 100.0, "k2")
             assert abs(d.quantile(0.5) - center) < 0.2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_stream_watermark_expiry(spark):
+    """Late data beyond the watermark must not resurrect an expired window's
+    state; data within the watermark still folds in."""
+    import datetime as dt
+    from t_digest_spark.streaming import with_event_window
+
+    base = dt.datetime(2026, 3, 1, 0, 0, 0)
+    early = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=m) for m in (0, 0, 1, 1)] * 250,
+        "g": ["a"] * 1000,
+        "x": np.random.default_rng(2).normal(0, 1, 1000),
+    })
+    # push event time far ahead so the first window passes the watermark
+    ahead = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=60)] * 500,
+        "g": ["a"] * 500,
+        "x": np.random.default_rng(3).normal(50, 1, 500),
+    })
+    # late straggler for the long-expired first window
+    late = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=0, seconds=30)] * 100,
+        "g": ["a"] * 100,
+        "x": np.random.default_rng(4).normal(-50, 1, 100),
+    })
+
+    work = tempfile.mkdtemp(prefix="tdigest_wm_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        stream = (spark.readStream
+                  .schema("ts timestamp, g string, x double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir))
+        windowed = with_event_window(stream, "ts", "2 minutes",
+                                     watermark="5 minutes")
+        digests = tdigest_stream_aggregate(windowed, "x", ["win", "g"],
+                                           window_col="win")
+        q = (digests.writeStream.format("memory").queryName("wm_stream")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            _write_batch(spark, in_dir, early, "b1")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, ahead, "b2")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, late, "b3")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from wm_stream").collect()
+        latest = {}
+        for r in rows:
+            latest[r.win.start] = r
+        first_win = latest[base]
+        # the late batch (mean -50) must NOT appear in the expired window:
+        # count stays 1000 and min stays near the N(0,1) sample range
+        assert first_win["count"] == 1000.0
+        assert first_win.dmin > -20.0
     finally:
         shutil.rmtree(work, ignore_errors=True)
