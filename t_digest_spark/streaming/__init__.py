@@ -13,9 +13,10 @@ touched in that trigger, so a downstream sink always holds the latest
 mergeable state — the streaming analog of the checkpoint table
 (operators/checkpoint.py).
 
-For event-time windowed digests use ``window_group_col``: the window struct
-becomes part of the grouping key, and the caller attaches a watermark
-beforehand (late data then expires with the watermark as usual).
+For event-time windowed digests: ``with_event_window`` puts the window
+struct in the grouping key and ``window_col="win"`` turns on explicit state
+lifecycle (event-time timeouts + late-row discard) — Spark does not filter
+late rows for arbitrary stateful operators by itself.
 """
 
 from __future__ import annotations
@@ -130,3 +131,50 @@ def with_event_window(df: DataFrame, ts_col: str, window_duration: str,
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return df.withColumn("win", F.window(ts_col, window_duration)).drop(ts_col)
+
+
+KLL_STATE_SCHEMA = StructType([
+    StructField("items", ArrayType(DoubleType())),
+    StructField("offsets", ArrayType(DoubleType())),
+    StructField("kmin", DoubleType()),
+    StructField("kmax", DoubleType()),
+    StructField("count", DoubleType()),
+])
+
+
+def kll_stream_aggregate(df: DataFrame, value_col: str,
+                         group_cols: Sequence[str], k: int = 200) -> DataFrame:
+    """Stateful per-key KLL sketch over a streaming DataFrame — same update
+    shape as the digest accumulator; each emitted row is mergeable with the
+    batch KLL operators (sketches/spark.py)."""
+    from t_digest_spark.sketches.kll import KllSketch
+
+    group_cols = list(group_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols])
+    for name, typ in (("items", ArrayType(DoubleType())),
+                      ("offsets", ArrayType(DoubleType())),
+                      ("kmin", DoubleType()), ("kmax", DoubleType()),
+                      ("count", DoubleType())):
+        out_schema = out_schema.add(name, typ)
+
+    def update(key, pdfs, state: GroupState):
+        s = KllSketch(k)
+        if state.exists:
+            items, offsets, kmin, kmax, count = state.get
+            s = KllSketch.from_row(items, offsets, kmin, kmax, count, k=k)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                s.update_values(vals)
+        items, offsets, mn, mx, n = s.to_row()
+        row = ([float(x) for x in items], [float(o) for o in offsets],
+               float(mn), float(mx), float(n))
+        state.update(row)
+        yield pd.DataFrame([tuple(key) + row],
+                           columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, KLL_STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -200,3 +200,43 @@ def test_windowed_stream_watermark_expiry(spark):
         assert first_win.dmin > -20.0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_kll_stream_matches_batch(spark):
+    """Streaming KLL state == batch KLL within the published bound, and the
+    emitted rows stay mergeable with the batch operators."""
+    from t_digest_spark.sketches.kll import KllSketch
+    from t_digest_spark.streaming import kll_stream_aggregate
+
+    rng = np.random.default_rng(44)
+    b1 = pd.DataFrame({"g": ["s"] * 4000, "x": rng.normal(0, 1, 4000)})
+    b2 = pd.DataFrame({"g": ["s"] * 3000, "x": rng.normal(1, 1, 3000)})
+    work = tempfile.mkdtemp(prefix="kll_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, b1, "b1")
+        stream = (spark.readStream.schema("g string, x double")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        q = (kll_stream_aggregate(stream, "x", ["g"])
+             .writeStream.format("memory").queryName("kll_stream")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from kll_stream").collect()
+        last = rows[-1]
+        assert last["count"] == 7000.0
+        s = KllSketch.from_row(last["items"], last["offsets"], last.kmin,
+                               last.kmax, last["count"])
+        allv = np.sort(np.concatenate([b1.x.to_numpy(), b2.x.to_numpy()]))
+        for q_ in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(allv, s.quantile(q_)) / len(allv)
+            assert abs(rank - q_) < 0.02, q_
+        assert s.min == allv[0] and s.max == allv[-1]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
