@@ -258,3 +258,16 @@ def test_req_spark_aggregate(spark):
         for col, q in (("p999", 0.999), ("p9999", 0.9999)):
             rank = np.searchsorted(vals, rows[g][col]) / len(vals)
             assert abs(rank - q) / (1 - q) < 0.5, (g, q, rank)
+
+
+def test_countmin_weighted(spark):
+    from t_digest_spark.sketches.spark import (countmin_aggregate,
+                                               countmin_estimate)
+    pdf = pd.DataFrame({"word": ["a", "b", "a"], "wt": [10, 5, 7]})
+    cm = countmin_aggregate(spark.createDataFrame(pdf), "word",
+                            d=4, w=512, weight_col="wt")
+    probes = spark.createDataFrame(pd.DataFrame({"word": ["a", "b"]}))
+    got = {r.word: r.cm_estimate for r in
+           countmin_estimate(cm, probes, "word").collect()}
+    assert got["a"] >= 17 and got["b"] >= 5
+    assert got["a"] <= 22 and got["b"] <= 10  # tiny n: collisions near-nil

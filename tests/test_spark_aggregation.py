@@ -192,3 +192,15 @@ def test_sql_registered_functions(spark):
     assert abs(row.p50 - 50.0) < 2.0
     assert abs(row.c25 - 0.25) < 0.02
     assert abs(row.iqm - 50.0) < 2.0
+
+
+def test_entry_contract_schema(spark):
+    """Driver-contract guard: entry() keeps a stable schema and >=1 row."""
+    import __spark_entry__ as em
+    df = em.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "lang", "n_docs", "min_len", "max_len", "p50", "p99", "p999",
+        "trimmed_mean_5_95"]
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert all(r.min_len <= r.p50 <= r.p999 <= r.max_len for r in rows)
