@@ -150,7 +150,7 @@ def q_events_top3_per_type(spark, sf_dir):
     from pyspark.sql.window import Window
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (ev.withColumn("rnk", F.row_number().over(w))
+    return (ev.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= 3)
             .select("event_type", "rnk", "event_id", "user_id", "value"))
 
@@ -176,11 +176,14 @@ def q_token_counts_by_lang(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tc = token_count(docs)
     joined = tc.join(docs.select("doc_id", "lang"), "doc_id")
+    # Explicit BIGINT casts on every aggregate: DuckDB's sum(BIGINT) widens to
+    # HUGEINT (int128), which hashes differently in the driver's canonical
+    # compare even when values are equal (VERDICT r1 §What's-wrong #1).
     return (joined.groupBy("lang")
-            .agg(F.sum("ws_tokens").alias("sum_ws_tokens"),
-                 F.sum("bpe_ish_tokens").alias("sum_bpe_tokens"),
-                 F.sum("n_chars_computed").alias("sum_chars"),
-                 F.count(F.lit(1)).alias("n_docs")))
+            .agg(F.sum("ws_tokens").cast("long").alias("sum_ws_tokens"),
+                 F.sum("bpe_ish_tokens").cast("long").alias("sum_bpe_tokens"),
+                 F.sum("n_chars_computed").cast("long").alias("sum_chars"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
 def q_quality_by_lang(spark, sf_dir):
@@ -196,10 +199,16 @@ def q_quality_by_lang(spark, sf_dir):
         stop_hits = c if stop_hits is None else stop_hits + c
     per_doc = docs.select("lang", n_chars.alias("nc"), n_tokens.alias("nt"),
                           stop_hits.alias("sh"))
+    # Canonical types both sides: cast sums to double BEFORE dividing (DuckDB
+    # sums in HUGEINT; dividing int128s then converting can differ in the last
+    # float bit from bigint/bigint division) and pin total_tokens to BIGINT.
+    sum_sh = F.sum("sh").cast("double")
+    sum_nt = F.sum("nt").cast("double")
+    sum_nc = F.sum("nc").cast("double")
     return (per_doc.groupBy("lang")
-            .agg((F.sum("sh") / F.sum("nt")).alias("stopword_ratio"),
-                 (F.sum("nc") / F.sum("nt")).alias("chars_per_token"),
-                 F.sum("nt").alias("total_tokens")))
+            .agg((sum_sh / sum_nt).cast("double").alias("stopword_ratio"),
+                 (sum_nc / sum_nt).cast("double").alias("chars_per_token"),
+                 F.sum("nt").cast("long").alias("total_tokens")))
 
 
 def q_lang_id_confusion(spark, sf_dir):
@@ -674,11 +683,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_lang": r"""
             SELECT lang,
-                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_ws_tokens,
-                   sum(len(regexp_split_to_array(trim(text), '[^\w]+'))
-                       + length(regexp_replace(text, '[\w\s]', '', 'g'))) AS sum_bpe_tokens,
-                   sum(length(text)) AS sum_chars,
-                   count(*) AS n_docs
+                   cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS sum_ws_tokens,
+                   cast(sum(len(regexp_split_to_array(trim(text), '[^\w]+'))
+                       + length(regexp_replace(text, '[\w\s]', '', 'g'))) as bigint) AS sum_bpe_tokens,
+                   cast(sum(length(text)) as bigint) AS sum_chars,
+                   cast(count(*) as bigint) AS n_docs
             FROM documents GROUP BY lang
         """,
         "quality_by_lang": rf"""
@@ -690,9 +699,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT lang, text, ' ' || text || ' ' AS padded FROM documents)
             )
             SELECT lang,
-                   sum(sh) / sum(nt) AS stopword_ratio,
-                   sum(nc) / sum(nt) AS chars_per_token,
-                   sum(nt) AS total_tokens
+                   cast(cast(sum(sh) as double) / cast(sum(nt) as double) as double) AS stopword_ratio,
+                   cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
+                   cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
         """,
         "lang_id_confusion": f"""

@@ -39,6 +39,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
     if not ok:
         return False
     a, b = canon(spark_pdf), canon(oracle_pdf)
+    # Dtype parity matters: the driver hashes canonicalized values, and an
+    # int64 Spark column vs a float64 oracle column (DuckDB HUGEINT -> pandas
+    # float64) hashes differently even when every value compares equal.
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            print(f"  DTYPE MISMATCH col={c}: spark={a[c].dtype} oracle={b[c].dtype}")
+            ok = False
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(a[c].dtype, np.floating):

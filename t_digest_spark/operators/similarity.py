@@ -43,7 +43,9 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
                           / (F.col("_cnorm") * F.col("_qnorm"))))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    # rank cast to long: row_number() is int32 in Spark but the oracle engine
+    # emits int64 — the driver's canonical hash is dtype-sensitive.
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "rank", "cosine"))
 
@@ -119,7 +121,7 @@ def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                        / (F.col("_qn") * F.col("_cn"))).alias("cosine")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select("query_id", "corpus_id", "rank", "cosine"))
 
