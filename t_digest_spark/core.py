@@ -419,7 +419,11 @@ class TDigest:
 
     @property
     def count(self) -> float:
-        return self.total + sum(float(a.sum()) for a in self._pending_w)
+        # Unit-weight batches stage None in _pending_w (weights materialize
+        # lazily at flush) — count each such batch by its value count.
+        pending = sum(len(m) if w is None else float(w.sum())
+                      for m, w in zip(self._pending_m, self._pending_w))
+        return self.total + pending
 
     def centroid_count(self) -> int:
         self._flush()

@@ -60,8 +60,12 @@ def tdigest_partial_build(df: DataFrame, value_col: str,
     ``pre_aggregate=True`` collapses duplicate values JVM-side first:
     ``groupBy(group, x) -> sum(w)`` runs as a codegen hash aggregate with
     map-side combine, so only distinct (group, x) pairs cross the Arrow
-    boundary as weighted samples — bit-identical digest semantics (w points
-    at x == one add(x, w), TDigest.java:92). This sidesteps Spark's per-row
+    boundary as weighted samples, following the reference's weighted-add
+    contract (one add(x, w), TDigest.java:92). Note this is NOT bit-identical
+    to unit-weight ingestion: a weighted point can never split across
+    clusters and the singleton interpolation branches treat weight>1
+    differently, so quantiles may shift at the interpolation level versus
+    the unfused plan. This sidesteps Spark's per-row
     ArrowWriter.sizeInBytes batch-limit bookkeeping on the Python boundary
     (~200ns/row of pure overhead — measured dominant for 10^7+ row builds)
     and shrinks the boundary by the duplication factor. Use whenever the

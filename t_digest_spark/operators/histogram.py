@@ -123,12 +123,28 @@ def histogram_merge(hist_df: DataFrame,
 
 
 def histogram_cdf(spec: HistogramSpec, x: float) -> Column:
-    """P(X <= x) from the counts array (in-range mass only) — JVM expression."""
-    b = spec.bucket(F.lit(float(x)))
-    full = F.aggregate(F.slice("counts", 1, F.greatest(b.cast("int"), F.lit(0))),
-                       F.lit(0).cast("long"), lambda a, c: a + c)
+    """P(X <= x) from the counts array (in-range mass only) — JVM expression.
+
+    Bins fully below x count whole; the bin CONTAINING x contributes a
+    linearly interpolated fraction of its mass ((x - lo_edge) / bin_width),
+    so off-edge x is no longer biased low by up to a bin's mass. For x on a
+    bin edge the fraction is exactly 0 (previous behavior preserved). x is a
+    literal, so the containing bin resolves driver-side; only the two array
+    folds run in the executor."""
+    import bisect
+    xv = float(x)
     inrange = F.aggregate("counts", F.lit(0).cast("long"), lambda a, c: a + c)
-    return (full.cast("double") / inrange.cast("double"))
+    if xv <= spec.lo:
+        return F.lit(0.0) * inrange.cast("double")  # 0, NULL-propagating
+    if xv >= spec.hi:
+        return inrange.cast("double") / inrange.cast("double")  # 1 (NaN if empty)
+    edges = spec.edges()
+    b = min(max(bisect.bisect_right(edges, xv) - 1, 0), spec.n_bins - 1)
+    frac = (xv - edges[b]) / (edges[b + 1] - edges[b])
+    full = F.aggregate(F.slice("counts", 1, b), F.lit(0).cast("long"),
+                       lambda a, c: a + c) if b > 0 else F.lit(0).cast("long")
+    part = F.element_at("counts", b + 1).cast("double") * F.lit(frac)
+    return (full.cast("double") + part) / inrange.cast("double")
 
 
 def histogram_quantile(spec: HistogramSpec, q: float) -> Column:

@@ -233,6 +233,13 @@ class KllSketch:
         s.n = int(n)
         s.min = float(mn) if s.n else math.inf
         s.max = float(mx) if s.n else -math.inf
+        # The compaction-coin counter is not part of the row layout; seed it
+        # from n so a restore CONTINUES a distinct coin stream instead of
+        # resetting to 0 — a long-running stream restoring per micro-batch
+        # would otherwise replay the same even/odd offsets every batch and
+        # correlate compaction choices (weakening the i.i.d.-coin assumption
+        # behind the published rank-error bound).
+        s._coin = (int(n) * 0x9E3779B1) & 0x7FFFFFFF
         return s
 
     def to_bytes(self) -> bytes:

@@ -143,10 +143,21 @@ KLL_STATE_SCHEMA = StructType([
 
 
 def kll_stream_aggregate(df: DataFrame, value_col: str,
-                         group_cols: Sequence[str], k: int = 200) -> DataFrame:
+                         group_cols: Sequence[str], k: int = 200,
+                         window_col: Optional[str] = None,
+                         allowed_lateness_ms: int = 0) -> DataFrame:
     """Stateful per-key KLL sketch over a streaming DataFrame — same update
     shape as the digest accumulator; each emitted row is mergeable with the
-    batch KLL operators (sketches/spark.py)."""
+    batch KLL operators (sketches/spark.py).
+
+    State lifecycle mirrors tdigest_stream_aggregate: with ``window_col``
+    naming a window-struct key column (see with_event_window), state
+    registers an event-time timeout at window_end + allowed_lateness, is
+    dropped on timeout, and late rows for expired windows are discarded.
+    Without a window the state is keyed only by group_cols and is UNBOUNDED:
+    high-cardinality keys in a long-running stream grow state without limit
+    — give such streams a window (or pre-bucket the key space).
+    """
     from t_digest_spark.sketches.kll import KllSketch
 
     group_cols = list(group_cols)
@@ -157,8 +168,21 @@ def kll_stream_aggregate(df: DataFrame, value_col: str,
                       ("kmin", DoubleType()), ("kmax", DoubleType()),
                       ("count", DoubleType())):
         out_schema = out_schema.add(name, typ)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
 
     def update(key, pdfs, state: GroupState):
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:      # drain: late rows for an expired window
+                    pass
+                return
         s = KllSketch(k)
         if state.exists:
             items, offsets, kmin, kmax, count = state.get
@@ -172,9 +196,13 @@ def kll_stream_aggregate(df: DataFrame, value_col: str,
         row = ([float(x) for x in items], [float(o) for o in offsets],
                float(mn), float(mx), float(n))
         state.update(row)
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
         yield pd.DataFrame([tuple(key) + row],
                            columns=[f.name for f in out_schema.fields])
 
     return (df.groupBy(*group_cols)
             .applyInPandasWithState(update, out_schema, KLL_STATE_SCHEMA,
-                                    "update", GroupStateTimeout.NoTimeout))
+                                    "update", timeout))

@@ -414,3 +414,16 @@ def test_k_limit_criterion_parity():
         dw.add_values(data)
         for q in (0.1, 0.5, 0.9):
             assert abs(d.quantile(q) - dw.quantile(q)) < 0.05, (scale, q)
+
+
+def test_count_before_flush_unit_and_weighted():
+    """count must include pending (unflushed) samples for BOTH staging modes:
+    unit-weight batches stage weights as None (ADVICE r1: previously crashed
+    with AttributeError on None.sum())."""
+    d = TDigest()
+    d.add_values([1.0, 2.0, 3.0])               # unit weights -> None staged
+    assert d.count == 3.0
+    d.add_values([4.0, 5.0], [2.0, 3.0])        # explicit weights
+    assert d.count == 8.0
+    d.compress()
+    assert d.count == 8.0

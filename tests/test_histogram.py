@@ -104,3 +104,22 @@ def test_spec_validation():
         HistogramSpec(1.0, 100.0, kind="linear")  # n_bins required
     with pytest.raises(ValueError):
         HistogramSpec(1.0, 100.0, n_bins=5, kind="banana")
+
+
+def test_cdf_interpolates_partial_bin(spark):
+    """Off-edge x: the containing bin contributes its interpolated fraction
+    (ADVICE r1: previously the partial bin's mass was dropped entirely)."""
+    vals = np.arange(10_000, dtype=np.float64)  # uniform 0..9999
+    spec = HistogramSpec(0.0, 10_000.0, n_bins=100, kind="linear")
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    h = histogram_aggregate(df, "x", None, spec)
+    row = h.select(
+        histogram_cdf(spec, 2550.0).alias("mid"),     # half-way into bin 25
+        histogram_cdf(spec, 2500.0).alias("edge"),    # exactly on the edge
+        histogram_cdf(spec, -5.0).alias("below"),
+        histogram_cdf(spec, 10_500.0).alias("above"),
+    ).collect()[0]
+    assert row.mid == pytest.approx(0.255, abs=1e-9)
+    assert row.edge == pytest.approx(0.25, abs=1e-9)
+    assert row.below == 0.0
+    assert row.above == 1.0

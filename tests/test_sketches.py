@@ -271,3 +271,17 @@ def test_countmin_weighted(spark):
            countmin_estimate(cm, probes, "word").collect()}
     assert got["a"] >= 17 and got["b"] >= 5
     assert got["a"] <= 22 and got["b"] <= 10  # tiny n: collisions near-nil
+
+
+def test_kll_restore_continues_coin_stream():
+    """from_row seeds the compaction coin from n, so a restore does not reset
+    the even/odd stream to 0 (ADVICE r1: correlated compactions across
+    micro-batch restores weaken the rank-error guarantee)."""
+    rng = np.random.default_rng(7)
+    s = KllSketch.from_values(rng.uniform(0, 1, 20_000))
+    restored = KllSketch.from_row(*s.to_row())
+    assert restored._coin != 0
+    # still a correct sketch after restore + more data
+    restored.update_values(rng.uniform(0, 1, 20_000))
+    assert abs(restored.quantile(0.5) - 0.5) < 0.05
+    assert restored.n == 40_000

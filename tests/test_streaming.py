@@ -240,3 +240,64 @@ def test_kll_stream_matches_batch(spark):
         assert s.min == allv[0] and s.max == allv[-1]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_kll_stream_expiry(spark):
+    """KLL accumulator state lifecycle mirrors the digest one: windowed state
+    expires past the watermark and late rows cannot resurrect it."""
+    import datetime as dt
+    from t_digest_spark.sketches.kll import KllSketch
+    from t_digest_spark.streaming import kll_stream_aggregate, with_event_window
+
+    base = dt.datetime(2026, 4, 1, 0, 0, 0)
+    early = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=m) for m in (0, 0, 1, 1)] * 250,
+        "g": ["a"] * 1000,
+        "x": np.random.default_rng(12).normal(0, 1, 1000),
+    })
+    ahead = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=60)] * 500,
+        "g": ["a"] * 500,
+        "x": np.random.default_rng(13).normal(50, 1, 500),
+    })
+    late = pd.DataFrame({
+        "ts": [base + dt.timedelta(seconds=30)] * 100,
+        "g": ["a"] * 100,
+        "x": np.random.default_rng(14).normal(-50, 1, 100),
+    })
+    work = tempfile.mkdtemp(prefix="kll_wm_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        stream = (spark.readStream
+                  .schema("ts timestamp, g string, x double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir))
+        windowed = with_event_window(stream, "ts", "2 minutes",
+                                     watermark="5 minutes")
+        sk = kll_stream_aggregate(windowed, "x", ["win", "g"],
+                                  window_col="win")
+        q = (sk.writeStream.format("memory").queryName("kll_wm_stream")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            _write_batch(spark, in_dir, early, "b1")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, ahead, "b2")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, late, "b3")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from kll_wm_stream").collect()
+        latest = {}
+        for r in rows:
+            latest[r.win.start] = r
+        first_win = latest[base]
+        assert first_win["count"] == 1000.0      # late batch not folded in
+        s = KllSketch.from_row(first_win["items"], first_win["offsets"],
+                               first_win.kmin, first_win.kmax,
+                               first_win["count"])
+        assert s.min > -20.0                     # no N(-50,1) samples
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
