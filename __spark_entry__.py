@@ -146,13 +146,14 @@ def q_events_stats_by_type(spark, sf_dir):
 
 
 def q_events_top3_per_type(spark, sf_dir):
-    """Window top-k: highest-value events per type, deterministic tiebreak."""
-    from pyspark.sql.window import Window
+    """Top-k per type WITHOUT a full-key Window funnel: threshold-prefiltered
+    aggregate merge (operators/topk.py) — every stage parallel at 100 TB."""
+    from t_digest_spark.operators.topk import topk_per_key
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (ev.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= 3)
-            .select("event_type", "rnk", "event_id", "user_id", "value"))
+    return topk_per_key(ev, ["event_type"], "value", 3,
+                        tiebreak_cols=["event_id"],
+                        payload_cols=["user_id"]).select(
+        "event_type", "rnk", "event_id", "user_id", "value")
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -221,3 +221,37 @@ def test_embedding_near_dups_planted(spark):
         df, threshold=0.95, dim=64, n_planes=8, n_tables=4).collect()}
     truth = {(i, 60 + i) for i in range(12)}
     assert len(truth & pairs) / len(truth) >= 0.9
+
+
+def test_topk_per_key_matches_window_reference(spark):
+    """topk_per_key == the classic window top-k on adversarial shapes: ties
+    on the order value, keys confined to one partition (threshold fallback),
+    keys with fewer than k rows."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from t_digest_spark.operators.topk import topk_per_key
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    pdf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "hot"], n, p=[0.05, 0.3, 0.3, 0.35]),
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(0, 10, n), 1),   # heavy ties at 1 decimal
+        "pay": rng.integers(0, 100, n),
+    })
+    # a key with fewer than k rows and a single-partition key
+    extra = pd.DataFrame({"k": ["tiny", "tiny"], "id": [90001, 90002],
+                          "v": [99.0, 98.0], "pay": [1, 2]})
+    df = spark.createDataFrame(pd.concat([pdf, extra])).repartition(8, "id")
+
+    got = (topk_per_key(df, ["k"], "v", 5, tiebreak_cols=["id"],
+                        payload_cols=["pay"])
+           .orderBy("k", "rnk").toPandas())
+    w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+    want = (df.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 5)
+            .select("k", "rnk", "v", "id", "pay")
+            .orderBy("k", "rnk").toPandas())
+    pd.testing.assert_frame_equal(
+        got[["k", "rnk", "v", "id", "pay"]].reset_index(drop=True),
+        want.reset_index(drop=True))

@@ -88,3 +88,16 @@ def test_exact_dedup_no_window(spark):
     plan = _plan(dedup_exact(docs))
     assert "Window" not in plan           # min() aggregate, not row_number
     assert plan.count("HashAggregate") >= 2  # partial+final combine
+
+
+def test_topk_no_window_funnel(spark):
+    """Top-k per key must not contain a Window node (a Window partitioned by
+    a #groups-cardinality key funnels each key through one task); the
+    per-partition maxima aggregate must have map-side combine and the
+    threshold join must broadcast."""
+    import __spark_entry__ as em
+    df = em.queries()["events_top3_per_type"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4   # pmax partial+final, merge partial+final
+    assert "BroadcastHashJoin" in plan        # threshold table joins broadcast
