@@ -144,21 +144,30 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely JVM-side:
-    explode tokens -> xxhash64 -> per-bit majority vote via bitwise ops."""
+    explode tokens -> xxhash64 -> per-bit majority vote.
+
+    The vote runs as TWO slim aggregates over an exploded (doc, bit, ±1)
+    stream instead of 63 conditional-sum columns: one wide aggregate forced
+    a pathologically long whole-stage-codegen compile (VERDICT r1,
+    simhash_near_dups first-run stall). Map-side combine reduces the
+    exploded stream to docs x 63 partial sums before the shuffle, so the
+    plan shape is still a plain two-level hash aggregate at scale.
+    """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")).where(F.length("tok") > 0)
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    bit_votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
-              .otherwise(-1)).alias(f"b{b}")
-        for b in range(63)  # skip the sign bit
-    ]
-    votes = h.groupBy("doc_id").agg(*bit_votes)
-    sig = F.lit(0).cast("long")
-    for b in range(63):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sig.alias("simhash"))
+    # (doc, bit, vote=±1) rows; sign bit 63 skipped as before
+    bitvote = h.select("doc_id", F.expr(
+        "inline(transform(sequence(0, 62), b -> named_struct("
+        "'bit', b, "
+        "'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)))"))
+    summed = bitvote.groupBy("doc_id", "bit").agg(F.sum("v").alias("vote"))
+    return (summed.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("vote") > 0,
+                              F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                       .otherwise(F.lit(0).cast("long")))
+                 .cast("long").alias("simhash")))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",

@@ -255,3 +255,25 @@ def test_topk_per_key_matches_window_reference(spark):
     pd.testing.assert_frame_equal(
         got[["k", "rnk", "v", "id", "pay"]].reset_index(drop=True),
         want.reset_index(drop=True))
+
+
+def test_simhash_matches_wide_aggregate_formulation(spark):
+    """The exploded-bit-vote simhash must emit bit-identical signatures to
+    the direct 63-conditional-sum formulation it replaced."""
+    from t_digest_spark.operators.dedup import simhash
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .where(F.col("doc_id") < 60).select("doc_id", "text"))
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    toks = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok")) \
+               .where(F.length("tok") > 0)
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}") for b in range(63)])
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    want = {r.doc_id: r.simhash for r in votes.select("doc_id", sig.alias("simhash")).collect()}
+    assert got == want
