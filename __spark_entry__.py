@@ -479,7 +479,7 @@ def q_lsh_topk_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clones = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
-    approx = lsh_topk(emb.unionByName(clones), k=5, dim=64, n_planes=8)
+    approx = lsh_topk(emb.unionByName(clones), k=5, dim=64)  # auto n_planes
     top1 = approx.where((F.col("query_id") >= 1_000_000) & (F.col("rank") == 1))
     good = top1.where((F.col("corpus_id") == F.col("query_id") - 1_000_000)
                       & (F.col("cosine") >= 0.999999))
@@ -494,7 +494,7 @@ def q_embedding_near_dups(spark, sf_dir):
     clones = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     pairs = embedding_near_dups(emb.unionByName(clones), threshold=0.8,
-                                dim=64, n_planes=6)
+                                dim=64)  # auto n_planes
     planted = pairs.where(F.col("id_b") == F.col("id_a") + 1_000_000)
     return planted.agg(
         F.countDistinct("id_a").cast("long").alias("n_planted_found"),

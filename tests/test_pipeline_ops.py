@@ -277,3 +277,50 @@ def test_simhash_matches_wide_aggregate_formulation(spark):
                            F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     want = {r.doc_id: r.simhash for r in votes.select("doc_id", sig.alias("simhash")).collect()}
     assert got == want
+
+
+def test_auto_n_planes_occupancy_scaling():
+    """Auto-sized planes keep expected bucket occupancy ~constant: doubling
+    the corpus adds a plane instead of doubling occupancy."""
+    from t_digest_spark.operators.similarity import auto_n_planes
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(1000) == 4
+    assert auto_n_planes(64 * (1 << 10)) == 10
+    assert auto_n_planes(64 * (1 << 11)) == 11
+    assert auto_n_planes(10**12) == 24          # capped
+    for n in (10**4, 10**6, 10**8):
+        p = auto_n_planes(n)
+        assert n / (1 << p) <= 64 * 1.01 or p == 24
+
+
+def test_lsh_candidate_observation(spark):
+    """Candidate-pair accounting: the Observation reports the pair count the
+    join actually produced (no silent caps)."""
+    from pyspark.sql import Observation
+    from t_digest_spark.operators.similarity import lsh_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    obs = Observation("lsh_cands")
+    out = lsh_topk(emb, k=3, dim=64, n_planes=6, observation=obs)
+    n_results = out.count()
+    got = obs.get
+    assert got["n_candidate_pairs"] >= n_results
+    assert got["n_candidate_pairs"] > 0
+
+
+def test_cosine_pairs_udf_matches_fold(spark):
+    """The vectorized re-rank cosine equals the JVM fold cosine to 1e-12."""
+    from t_digest_spark.operators.similarity import (_dot, cosine_pairs_udf,
+                                                     with_norm)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 40)
+    a = with_norm(emb).select(F.col("vec_id").alias("ia"),
+                              F.col("_vec").alias("va"),
+                              F.col("_norm").alias("na"))
+    b = with_norm(emb).select(F.col("vec_id").alias("ib"),
+                              F.col("_vec").alias("vb"),
+                              F.col("_norm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+    both = pairs.select(
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("fold"),
+        cosine_pairs_udf()("va", "vb").alias("blas")).toPandas()
+    assert (both["fold"] - both["blas"]).abs().max() < 1e-12
