@@ -77,6 +77,63 @@ class _K1:
         return delta / (2.0 * math.pi)
 
 
+# fastAsin piecewise-model coefficients (ScaleFunction.java:883-886), rows:
+# m0 (x<=0.1), m1 (..0.55), m2 (0.5..0.8), m3 (0.75..0.9); above 0.9 -> asin.
+_ASIN_MODELS = np.array([
+    [0.2955302411, 1.2221903614, 0.1488583743, 0.2422015816,
+     -0.3688700895, 0.0733398445],
+    [-0.0430991920, 0.9594035750, -0.0362312299, 0.1204623351,
+     0.0457029620, -0.0026025285],
+    [-0.034873933724, 1.054796752703, -0.194127063385, 0.283963735636,
+     0.023800124916, -0.000872727381],
+    [-0.37588391875, 2.61991859025, -2.48835406886, 1.48605387425,
+     0.00857627492, -0.00015802871],
+])
+
+
+def fast_asin(x):
+    """Vectorized port of ScaleFunction.fastAsin (ScaleFunction.java:861-924):
+    four overlapping polynomial/rational models linearly interpolated, exact
+    asin above 0.9, odd extension below 0, NaN above 1. Worst-case error vs
+    asin < 1e-6 (reference ScaleFunctionTests.asinApproximation contract).
+
+    Historical note: in Java this beats Math.asin by avoiding a libm call;
+    under NumPy np.arcsin is already vectorized C, so this port exists for
+    behavioral parity (K_1_FAST), not speed.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    scalar = x.ndim == 0
+    a = np.abs(np.atleast_1d(x))
+    sign = np.sign(np.atleast_1d(x))
+    out = np.full(a.shape, np.nan)
+    c0_hi, c1_hi, c2_lo, c2_hi, c3_lo, c3_hi, c4_lo = \
+        0.1, 0.55, 0.5, 0.8, 0.75, 0.9, 0.87
+    big = (a > c3_hi) & (a <= 1.0)
+    out[big] = np.arcsin(a[big])
+    rest = a <= c3_hi
+    xa = a[rest]
+    if xa.size:
+        vars_ = np.stack([np.ones_like(xa), xa, xa * xa, xa ** 3,
+                          1.0 / (1.0 - xa), 1.0 / (1.0 - xa) / (1.0 - xa)])
+        bound = lambda v: np.clip(v, 0.0, 1.0)
+        x0 = bound((c0_hi - xa) / c0_hi)
+        x1 = bound((c1_hi - xa) / (c1_hi - c2_lo))
+        x2 = bound((c2_hi - xa) / (c2_hi - c3_lo))
+        x3 = bound((c3_hi - xa) / (c3_hi - c4_lo))
+        mixes = (x0, (1 - x0) * x1, (1 - x1) * x2, (1 - x2) * x3)
+        r = np.zeros_like(xa)
+        for m, mix in zip(_ASIN_MODELS, mixes):
+            # ordered accumulation matches the reference's eval() loop
+            ev = np.zeros_like(xa)
+            for ci, c in enumerate(m):
+                ev += c * vars_[ci]
+            r += mix * ev
+        r += (1 - x3) * np.arcsin(xa)
+        out[rest] = r
+    out = sign * out
+    return float(out[0]) if scalar else out
+
+
 class _K2:
     """Cluster sizes ~ q(1-q); constant-ish memory (ScaleFunction.java:300-362)."""
 
@@ -310,8 +367,27 @@ class _K3NoNorm:
         return delta
 
 
-SCALES = {s.name: s for s in (_K0, _K1, _K2, _K3, _K1Glued, _K2Glued,
-                              _K3Glued, _KQuadratic, _K2NoNorm, _K3NoNorm)}
+class _K1Fast:
+    """K_1 with the fastAsin approximation (ScaleFunction.java:235-294):
+    same sqrt(q(1-q)) cluster law as K_1 but k() goes through the
+    piecewise-model asin. q() and max() are identical to K_1 (the reference
+    uses exact Math.sin there too)."""
+
+    name = "k1_fast"
+
+    @staticmethod
+    def k(q, normalizer):
+        q = _clip_q(q)
+        return normalizer * fast_asin(2.0 * q - 1.0)
+
+    q = staticmethod(_K1.q)
+    max = staticmethod(_K1.max)
+    normalizer = staticmethod(_K1.normalizer)
+
+
+SCALES = {s.name: s for s in (_K0, _K1, _K1Fast, _K2, _K3, _K1Glued,
+                              _K2Glued, _K3Glued, _KQuadratic, _K2NoNorm,
+                              _K3NoNorm)}
 
 
 def get_scale(name: str):

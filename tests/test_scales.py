@@ -1,6 +1,8 @@
 """Scale-function tests ported from the reference's assertions
 (ScaleFunctionTests.java:37-43, :52-100, :109-169, :172-204)."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -20,9 +22,12 @@ def test_forward_inverse_roundtrip(name, delta, n):
     norm = s.normalizer(delta, n)
     k = s.k(QS, norm)
     back = s.q(k, norm)
-    # round-trip to 1e-10 except where the clamp engaged (ScaleFunctionTests.java:52-100)
+    # round-trip to 1e-10 except where the clamp engaged (ScaleFunctionTests.java:52-100);
+    # k1_fast is approximate BY DESIGN (fastAsin error <= 1e-6 through exact
+    # sin in q()), so its roundtrip is only asin-approximation-tight
+    tol = 1e-5 if name == "k1_fast" else 1e-9
     interior = (QS > 1e-14) & (QS < 1 - 1e-14)
-    assert np.max(np.abs(back[interior] - QS[interior])) < 1e-9
+    assert np.max(np.abs(back[interior] - QS[interior])) < tol
 
 
 @pytest.mark.parametrize("name", sorted(SCALES))
@@ -107,3 +112,44 @@ def test_quadratic_digest_end_to_end():
     for q in (0.1, 0.5, 0.9, 0.99):
         exact = srt[int(q * len(srt))]
         assert abs(d.cdf(exact) - q) < 0.02, q
+
+
+def test_fast_asin_reference_contract():
+    """Port of ScaleFunctionTests.asinApproximation + testApproximation
+    (ScaleFunctionTests.java:37-43, :210-222): error vs asin < 1e-6 over
+    [-1, 1], monotonic, exact at 1, NaN beyond 1."""
+    from t_digest_spark.scales import fast_asin
+    x = np.arange(-1.0, 1.0, 1e-5)
+    got = fast_asin(x)
+    err = np.abs(np.arcsin(x) - got)
+    assert err.max() < 1e-6
+    assert (np.diff(got) >= 0).all()            # monotonic
+    assert fast_asin(1.0) == math.asin(1.0)     # exact at the endpoint
+    assert math.isnan(fast_asin(1.0001))
+    assert fast_asin(-1.0) == -math.asin(1.0)
+    assert fast_asin(0.0) == 0.0
+
+
+def test_k1_fast_scale_behaves_like_k1():
+    """K_1_FAST: same cluster-size law as K_1 within the fastAsin error."""
+    from t_digest_spark.scales import get_scale
+    k1 = get_scale("k1")
+    kf = get_scale("k1_fast")
+    norm = k1.normalizer(100.0, 10_000)
+    assert kf.normalizer(100.0, 10_000) == norm
+    q = np.linspace(0.001, 0.999, 500)
+    assert np.abs(kf.k(q, norm) - k1.k(q, norm)).max() <= norm * 1.1e-6
+    k = np.linspace(-norm * 1.5, norm * 1.5, 100)
+    assert np.allclose(kf.q(k, norm), k1.q(k, norm))
+
+
+def test_k1_fast_digest_build():
+    from t_digest_spark.core import TDigest
+    rng = np.random.default_rng(9)
+    vals = rng.normal(0, 1, 50_000)
+    d = TDigest.from_values(vals, delta=100.0, scale="k1_fast")
+    srt = np.sort(vals)
+    for q in (0.01, 0.5, 0.99):
+        rank = np.searchsorted(srt, d.quantile(q)) / len(srt)
+        assert abs(rank - q) < 0.01, q
+    d.check_weights()
