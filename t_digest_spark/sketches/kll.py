@@ -259,6 +259,104 @@ class KllSketch:
         items = np.frombuffer(data, dtype=np.float64, offset=pos)
         return cls.from_row(items, offs, mn, mx, n, k=k, m=m)
 
+    # ------------------------------------------- DataSketches binary serde
+    #
+    # Interchange format of the reference's vendored KllDoublesSketch
+    # (KllDoublesSketch.java:183-215 layout diagram, :300-355 heapify,
+    # little-endian):
+    #   byte 0  preambleInts (5 full / 2 empty-or-single)
+    #   byte 1  serial version (1 full/empty, 2 single-item)
+    #   byte 2  family id 15 (KLL)
+    #   byte 3  flags: bit0 EMPTY, bit1 LEVEL_ZERO_SORTED, bit2 SINGLE_ITEM
+    #   4-5  K (u16)   6  M (u8)   7  unused
+    #   full layout only: 8-15 N (u64), 16-17 minK (u16), 18 numLevels (u8),
+    #   19 unused, 20.. levels ints (numLevels entries, the last index is
+    #   derived), min double, max double, retained items (level 0 first,
+    #   each level ascending-sorted, packed).
+
+    _DS_FAMILY = 15
+    _DS_DATA_START = 20
+    _DS_DATA_START_SINGLE = 8
+
+    def _ds_capacity(self) -> int:
+        depth = len(self.levels)
+        return sum(_level_capacity(self.k, self.m, depth, h)
+                   for h in range(depth))
+
+    def to_datasketches_bytes(self) -> bytes:
+        """Serialize in the DataSketches KllDoublesSketch binary format, so
+        bytes interchange with the reference's vendored sketch (heapify) and
+        the Apache DataSketches ecosystem. Level arrays are written sorted,
+        hence the LEVEL_ZERO_SORTED flag is always set."""
+        if self.n == 0:
+            return struct.pack("<BBBBHBB", 2, 1, self._DS_FAMILY, 0b001,
+                               self.k, self.m, 0)
+        if self.n == 1:
+            item = None
+            for lv in self.levels:
+                if lv.size:
+                    item = float(lv[0])
+            return (struct.pack("<BBBBHBB", 2, 2, self._DS_FAMILY, 0b110,
+                                self.k, self.m, 0)
+                    + struct.pack("<d", item))
+        num_levels = len(self.levels)
+        capacity = self._ds_capacity()
+        retained = self.num_retained
+        if retained > capacity:
+            raise ValueError("retained items exceed DataSketches capacity")
+        # absolute item indices: valid region packed at the top of items_
+        idx = [capacity - retained]
+        for lv in self.levels[:-1]:
+            idx.append(idx[-1] + int(lv.size))
+        out = bytearray(struct.pack("<BBBBHBB", 5, 1, self._DS_FAMILY, 0b010,
+                                    self.k, self.m, 0))
+        out += struct.pack("<q", self.n)
+        out += struct.pack("<HBB", self.k, num_levels, 0)   # minK == k here
+        out += struct.pack(f"<{num_levels}i", *idx)
+        out += struct.pack("<dd", self.min, self.max)
+        for lv in self.levels:
+            out += np.sort(lv).astype("<f8").tobytes()
+        return bytes(out)
+
+    @classmethod
+    def from_datasketches_bytes(cls, data: bytes) -> "KllSketch":
+        """Heapify a DataSketches KllDoublesSketch byte image
+        (KllDoublesSketch.java:300-355 semantics)."""
+        preamble_ints, ser_ver, family, flags, k, m, _ = \
+            struct.unpack_from("<BBBBHBB", data, 0)
+        if family != cls._DS_FAMILY:
+            raise ValueError(f"not a KLL sketch image (family {family})")
+        if ser_ver not in (1, 2):
+            raise ValueError(f"unsupported serial version {ser_ver}")
+        is_empty = bool(flags & 0b001)
+        is_single = bool(flags & 0b100)
+        s = cls(k, m)
+        if is_empty:
+            return s
+        if is_single:
+            (item,) = struct.unpack_from("<d", data, cls._DS_DATA_START_SINGLE)
+            s.update(item)
+            return s
+        (n,) = struct.unpack_from("<q", data, 8)
+        min_k, num_levels, _ = struct.unpack_from("<HBB", data, 16)
+        pos = cls._DS_DATA_START
+        idx = list(struct.unpack_from(f"<{num_levels}i", data, pos))
+        pos += 4 * num_levels
+        mn, mx = struct.unpack_from("<dd", data, pos)
+        pos += 16
+        depth = num_levels
+        capacity = sum(_level_capacity(k, m, depth, h) for h in range(depth))
+        idx.append(capacity)
+        retained = capacity - idx[0]
+        items = np.frombuffer(data, dtype="<f8", offset=pos, count=retained)
+        s.levels = [items[idx[h] - idx[0]:idx[h + 1] - idx[0]].astype(np.float64)
+                    for h in range(num_levels)]
+        s.n = int(n)
+        s.min = float(mn)
+        s.max = float(mx)
+        s._coin = (int(n) * 0x9E3779B1) & 0x7FFFFFFF
+        return s
+
     def __repr__(self) -> str:
         return (f"KllSketch(k={self.k}, n={self.n}, "
                 f"retained={self.num_retained}, levels={len(self.levels)})")

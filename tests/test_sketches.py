@@ -285,3 +285,65 @@ def test_kll_restore_continues_coin_stream():
     restored.update_values(rng.uniform(0, 1, 20_000))
     assert abs(restored.quantile(0.5) - 0.5) < 0.05
     assert restored.n == 40_000
+
+
+class TestKllDataSketchesSerde:
+    """DataSketches KllDoublesSketch binary interchange
+    (KllDoublesSketch.java:183-215 layout): round-trips, documented byte
+    addresses, and the empty/single-item small layouts."""
+
+    def test_roundtrip_preserves_queries(self):
+        s = KllSketch.from_values(np.random.default_rng(3).normal(0, 1, 30_000))
+        b = s.to_datasketches_bytes()
+        r = KllSketch.from_datasketches_bytes(b)
+        assert (r.n, r.min, r.max, r.k, r.m) == (s.n, s.min, s.max, s.k, s.m)
+        assert r.num_retained == s.num_retained
+        for q in (0.01, 0.5, 0.99):
+            assert r.quantile(q) == s.quantile(q)
+
+    def test_preamble_byte_layout(self):
+        import struct
+        s = KllSketch.from_values(np.arange(10_000, dtype=np.float64))
+        b = s.to_datasketches_bytes()
+        assert b[0] == 5            # PREAMBLE_INTS_FULL
+        assert b[1] == 1            # serialVersionUID1
+        assert b[2] == 15           # KLL family id
+        assert b[3] == 0b010        # LEVEL_ZERO_SORTED
+        assert struct.unpack_from("<H", b, 4)[0] == s.k
+        assert b[6] == s.m
+        assert struct.unpack_from("<q", b, 8)[0] == s.n
+        assert struct.unpack_from("<H", b, 16)[0] == s.k   # minK
+        assert b[18] == len(s.levels)
+        mn, mx = struct.unpack_from("<dd", b, 20 + 4 * len(s.levels))
+        assert (mn, mx) == (0.0, 9999.0)
+        # total size: preamble + levels ints + min/max + retained doubles
+        assert len(b) == 20 + 4 * len(s.levels) + 16 + 8 * s.num_retained
+
+    def test_empty_and_single(self):
+        e = KllSketch()
+        be = e.to_datasketches_bytes()
+        assert len(be) == 8 and be[0] == 2 and be[3] & 1
+        assert KllSketch.from_datasketches_bytes(be).n == 0
+        s = KllSketch()
+        s.update(42.5)
+        bs = s.to_datasketches_bytes()
+        assert len(bs) == 16 and bs[1] == 2 and bs[3] & 0b100
+        r = KllSketch.from_datasketches_bytes(bs)
+        assert r.n == 1 and r.quantile(0.5) == 42.5
+
+    def test_rejects_foreign_bytes(self):
+        with pytest.raises(ValueError):
+            KllSketch.from_datasketches_bytes(b"\x05\x01\x0e\x00\xc8\x00\x08\x00")
+
+    def test_levels_are_absolute_packed_indices(self):
+        import struct
+        s = KllSketch.from_values(np.random.default_rng(5).uniform(0, 1, 50_000))
+        b = s.to_datasketches_bytes()
+        nl = b[18]
+        idx = struct.unpack_from(f"<{nl}i", b, 20)
+        cap = s._ds_capacity()
+        assert idx[0] == cap - s.num_retained   # packed at the top
+        sizes = [lv.size for lv in s.levels]
+        for h in range(nl - 1):
+            assert idx[h + 1] - idx[h] == sizes[h]
+        assert cap - idx[-1] == sizes[-1]
