@@ -395,6 +395,27 @@ def q_tdigest_price_quantiles(spark, sf_dir):
                     (F.abs(F.col("ecdf") - F.col("r30k")) <= 0.015).alias("cdf30k_ok")))
 
 
+def q_avl_price_quantiles(spark, sf_dir):
+    """AVLTreeDigest (clustering variant, AVLTreeDigest.java) per returnflag
+    with the same mid-rank bound contract as the MergingDigest flagship —
+    the reference's '3/compression' accuracy claim with margin."""
+    from t_digest_spark.avl import avl_quantile_udf
+    from t_digest_spark.operators.aggregation import avltree_aggregate
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dig = avltree_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    est = dig.select(
+        "l_returnflag",
+        avl_quantile_udf(0.5)(*_D).alias("e50"),
+        avl_quantile_udf(0.99)(*_D).alias("e99"))
+    x = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    return (li.join(F.broadcast(est), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(n.cast("long").alias("n_rows"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.02).alias("p50_ok"),
+                 (F.abs(_midrank(x, "e99", n) - 0.99) <= 0.01).alias("p99_ok")))
+
+
 def q_tdigest_events_global(spark, sf_dir):
     """Global digest at delta=200: extreme + mid quantile estimates checked
     against exact mid-ranks (tail bound 0.002, mid bound 0.015)."""
@@ -743,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         # rows-only (sketch estimates / seeded approximations)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "avl_price_quantiles": q_avl_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
         "source_table_quantiles": q_source_table_quantiles,
         "minhash_candidates": q_minhash_candidates,
@@ -995,6 +1017,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, count(*) AS n_rows,
                    true AS p50_ok, true AS p99_ok, true AS p999_ok,
                    true AS iq_mean_ok, true AS cdf30k_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "avl_price_quantiles": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   true AS p50_ok, true AS p99_ok
             FROM lineitem GROUP BY l_returnflag
         """,
         "tdigest_events_global": """

@@ -261,3 +261,95 @@ def tdigest_quantile_aggregate(df: DataFrame, value_col: str,
     if added_key:
         result = result.drop(_GLOBAL_KEY)
     return result
+
+
+# ------------------------------------------------------------ AVL variant
+
+def _avl_from_cells(means, weights, dmin, dmax, delta, scale, seed=42):
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest(delta=delta, scale=scale, seed=seed)
+    d.means = [float(x) for x in means]
+    d.counts = [float(x) for x in weights]
+    d.total = float(sum(d.counts))
+    if d.total > 0:
+        d.min = float(dmin)
+        d.max = float(dmax)
+    return d
+
+
+def avltree_aggregate(df: DataFrame, value_col: str,
+                      group_cols: Optional[Sequence[str]] = None,
+                      delta: float = 100.0, scale: str = "k2",
+                      seed: int = 42) -> DataFrame:
+    """End-to-end AVL clustering digest: one digest row per group, same row
+    schema as tdigest_aggregate so downstream serde/functions compose.
+
+    PARITY variant, not the scale path: the AVL digest clusters point by
+    point (AVLTreeDigest.java:85-160) and cannot be vectorized the way the
+    MergingDigest sweep is — the reference itself steers users to
+    MergingDigest (TDigest.java:50-59). Partials build per input partition
+    (no raw-row shuffle); the final merge re-adds partial centroids in
+    order, the reference's add(List<TDigest>) contract (:75-83).
+    """
+    from t_digest_spark.avl import AVLTreeDigest
+
+    group_cols = list(group_cols or [])
+    proj = df.select(*group_cols, value_col).where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
+    schema = _out_schema(proj, group_cols)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests, keyvals = {}, {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            if group_cols:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[group_cols])
+                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                for gi in range(len(uniques)):
+                    key = uniques[gi]
+                    d = digests.get(key)
+                    if d is None:
+                        d = digests[key] = AVLTreeDigest(delta=delta,
+                                                         scale=scale, seed=seed)
+                        keyvals[key] = key if len(group_cols) > 1 else (key,)
+                    d.add_values(vals[codes == gi])
+            else:
+                d = digests.get(_GLOBAL_KEY)
+                if d is None:
+                    d = digests[_GLOBAL_KEY] = AVLTreeDigest(delta=delta,
+                                                             scale=scale, seed=seed)
+                    keyvals[_GLOBAL_KEY] = ()
+                d.add_values(vals)
+        if digests:
+            rows = []
+            for key, d in digests.items():
+                rows.append(tuple(keyvals[key])
+                            + (d.means, d.counts,
+                               d.min if d.total else float("nan"),
+                               d.max if d.total else float("nan"),
+                               float(d.total)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    partials = proj.mapInPandas(build, schema)
+
+    out_group_cols = group_cols or [_GLOBAL_KEY]
+    parts = partials if group_cols else partials.withColumn(_GLOBAL_KEY, F.lit(1))
+    merge_schema = _out_schema(parts, out_group_cols)
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        shells = [
+            _avl_from_cells(m, w, lo, hi, delta, scale, seed)
+            for m, w, lo, hi in zip(pdf["means"], pdf["weights"],
+                                    pdf["dmin"], pdf["dmax"])]
+        out = AVLTreeDigest(delta=delta, scale=scale, seed=seed).merge(shells)
+        head = [pdf[c].iloc[0] for c in out_group_cols]
+        return pd.DataFrame(
+            [tuple(head) + (out.means, out.counts,
+                            out.min if out.total else float("nan"),
+                            out.max if out.total else float("nan"),
+                            float(out.total))],
+            columns=out_group_cols + ["means", "weights", "dmin", "dmax", "count"])
+
+    result = parts.groupBy(*out_group_cols).applyInPandas(merge_fn, merge_schema)
+    return result.drop(_GLOBAL_KEY) if not group_cols else result
