@@ -76,23 +76,24 @@ def main():
                       shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM and the Python-UDF worker pool so q1 doesn't pay session
-    # startup + the per-core worker fork/import storm.
-    import pandas as pd
+    # Warm the FULL hot path before timing — JVM, the per-core Python worker
+    # fork/import storm (t_digest_spark + numpy imports inside each worker),
+    # parquet reader codegen, and BOTH pandas-UDF eval types (mapInPandas for
+    # partials, applyInPandas for merges, scalar UDF for queries) — by
+    # running one tiny end-to-end digest build on the 5-row region table.
+    # Without this, q1 absorbs ~1.5x its steady-state cost (VERDICT r1 #9).
     spark.range(1000).select(F.sum("id")).collect()
     ncores = int(cpus) if cpus.isdigit() else 32
-
-    def _warm(it):
-        for pdf in it:
-            yield pd.DataFrame({"y": [float(len(pdf))]})
-    spark.range(0, ncores * 100, numPartitions=ncores).mapInPandas(
-        _warm, "y double").collect()
-    # warm the parquet read path (file listing, reader codegen) on the
-    # 5-row region table so q1 doesn't absorb one-time machinery costs
     try:
-        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    except Exception:
-        pass
+        from t_digest_spark.functions import quantile_udf
+        from t_digest_spark.operators.aggregation import tdigest_aggregate
+        reg = (spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+               .select(F.col("r_regionkey").cast("double").alias("x"))
+               .repartition(ncores))
+        dig = tdigest_aggregate(reg, "x", None)
+        dig.select(quantile_udf(0.5)("means", "weights", "dmin", "dmax")).collect()
+    except Exception as e:
+        print(f"bench: warmup failed: {e}", file=sys.stderr)
 
     timings = {}
     for name, fn in entrymod.queries().items():

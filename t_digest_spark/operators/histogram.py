@@ -33,11 +33,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def approx_log2(v: float) -> float:
+    """Reference LogHistogram.approxLog2 (LogHistogram.java:70-76): integer
+    part from the floating-point exponent, mantissa adjusted with a
+    second-order polynomial; error < ±0.01, exact at powers of two."""
+    import struct as _struct
+    bits = _struct.unpack("<q", _struct.pack("<d", v))[0]
+    exponent = ((bits & 0x7FF0_0000_0000_0000) >> 52) - 1024
+    m = _struct.unpack("<d", _struct.pack(
+        "<q", (bits & 0x800FFFFFFFFFFFFF) | 0x3FF0000000000000))[0]
+    return m * (2 - (1.0 / 3) * m) + exponent - (2.0 / 3.0)
+
+
+def _pow2_approx(x: float) -> float:
+    """Exact inverse of approx_log2 (LogHistogram.java:84-91) so bin edges
+    are computed exactly."""
+    exponent = math.floor(x) - 1
+    x = x - exponent
+    m = 3 - math.sqrt(7 - 3 * x)
+    return (2.0 ** (exponent + 1)) * m
+
+
+def _corrected_exponent(y: Column) -> Column:
+    """floor(log2(y)) with an off-by-one guard: libm log2 can land a hair
+    on the wrong side of a power of two; the exact comparisons against
+    pow(2, e) (exact for integral e) repair it."""
+    e0 = F.floor(F.log2(y)).cast("int")
+    return (F.when(F.pow(F.lit(2.0), e0.cast("double")) > y, e0 - 1)
+            .when(F.pow(F.lit(2.0), (e0 + 1).cast("double")) <= y, e0 + 1)
+            .otherwise(e0))
+
+
 class HistogramSpec:
     """Bin layout: shared by aggregate, merge, and query helpers."""
 
     def __init__(self, lo: float, hi: float, n_bins: Optional[int] = None,
-                 bins_per_octave: Optional[float] = None, kind: str = "log"):
+                 bins_per_octave: Optional[float] = None, kind: str = "log",
+                 bins_per_decade: float = 50.0, epsilon_factor: float = 0.1):
         if lo >= hi:
             raise ValueError("lo must be < hi")
         self.kind = kind
@@ -56,22 +88,93 @@ class HistogramSpec:
             if n_bins is None:
                 raise ValueError("linear histogram requires n_bins")
             self.width = (self.hi - self.lo) / n_bins
+        elif kind == "float_repr":
+            # reference FloatHistogram (FloatHistogram.java:43-73): constant
+            # width in base-2 float-representation space
+            self._validate_positive_log_range()
+            if not (5 <= bins_per_decade <= 10000):
+                raise ValueError(
+                    f"Unreasonable number of bins per decade {bins_per_decade}")
+            self.bits = int(math.ceil(
+                math.log(bins_per_decade * math.log10(2)) / math.log(2)))
+            n_bins = self._float_repr_index(self.hi) + 1
+            if n_bins > 10000:
+                raise ValueError(f"Excessive number of bins {n_bins}")
+        elif kind == "log_approx":
+            # reference LogHistogram (LogHistogram.java:39-57): approxLog2
+            # with quadratic mantissa correction
+            self._validate_positive_log_range()
+            if not (1e-6 <= epsilon_factor <= 0.5):
+                raise ValueError(
+                    f"Unreasonable epsilon factor {epsilon_factor}")
+            self.log_factor = math.log(2) / math.log(1 + epsilon_factor)
+            self.log_offset = approx_log2(self.lo) * self.log_factor
+            n_bins = int(approx_log2(self.hi) * self.log_factor
+                         - self.log_offset) + 1
+            if n_bins > 10000:
+                raise ValueError(f"Excessive number of bins {n_bins}")
         else:
             raise ValueError(f"unknown histogram kind {kind!r}")
         self.n_bins = int(n_bins)
 
+    def _validate_positive_log_range(self):
+        """Histogram.java base-class contract for the log-ish layouts."""
+        if self.lo <= 0 or self.hi <= 0:
+            raise ValueError("Min and max must be positive")
+        if self.hi <= 2 * self.lo:
+            raise ValueError(
+                f"Illegal/nonsensical min, max ({self.lo}, {self.hi})")
+
+    def _float_repr_index(self, x: float) -> int:
+        """Driver-side exact FloatHistogram.bucketIndex (bit twiddling,
+        FloatHistogram.java:69-73)."""
+        import struct as _struct
+        y = x / self.lo
+        bits = _struct.unpack("<q", _struct.pack("<d", y))[0]
+        return (bits >> (52 - self.bits)) - (0x3FF << self.bits)
+
     def bucket(self, x: Column) -> Column:
-        """Bucket index expression (NULL-safe; out-of-range clamped later)."""
+        """Bucket index expression (NULL-safe; out-of-range clamped later).
+
+        The float_repr/log_approx layouts decompose x into exponent e and
+        mantissa m = x/2^e in [1,2) with exact Catalyst arithmetic (division
+        by a power of two is exact), reproducing the reference's
+        bit-representation binning without bit operations."""
         if self.kind == "log":
             return F.floor(F.log2(x / F.lit(self.lo)) * F.lit(self.bins_per_octave))
-        return F.floor((x - F.lit(self.lo)) / F.lit(self.width))
+        if self.kind == "linear":
+            return F.floor((x - F.lit(self.lo)) / F.lit(self.width))
+        if self.kind == "float_repr":
+            y = x / F.lit(self.lo)
+            e = _corrected_exponent(y)
+            m = y / F.pow(F.lit(2.0), e.cast("double"))
+            idx = (e.cast("long") * (1 << self.bits)
+                   + F.floor((m - 1.0) * (1 << self.bits)).cast("long"))
+            return F.when(x <= 0.0, F.lit(-1).cast("long")).otherwise(idx)
+        # log_approx
+        e = _corrected_exponent(x)
+        m = x / F.pow(F.lit(2.0), e.cast("double"))
+        alog2 = (m * (2.0 - m / 3.0) + e.cast("double") - 1.0 - (2.0 / 3.0))
+        idx = F.floor(alog2 * F.lit(self.log_factor) - F.lit(self.log_offset))
+        return F.when(x <= 0.0, F.lit(-1).cast("long")).otherwise(idx)
 
     def edges(self) -> list:
-        """Bin lower edges (for presentation / quantile interpolation)."""
+        """Bin lower edges (for presentation / quantile interpolation).
+        float_repr/log_approx reproduce the reference's lowerBound exactly
+        (FloatHistogram.java:77-80; LogHistogram pow2 inverse)."""
         if self.kind == "log":
             return [self.lo * 2 ** (i / self.bins_per_octave)
                     for i in range(self.n_bins + 1)]
-        return [self.lo + i * self.width for i in range(self.n_bins + 1)]
+        if self.kind == "linear":
+            return [self.lo + i * self.width for i in range(self.n_bins + 1)]
+        if self.kind == "float_repr":
+            out = []
+            for k in range(self.n_bins + 1):
+                e, frac = divmod(k, 1 << self.bits)
+                out.append(self.lo * (2.0 ** e) * (1 + frac / (1 << self.bits)))
+            return out
+        return [_pow2_approx((k + self.log_offset) / self.log_factor)
+                for k in range(self.n_bins + 1)]
 
 
 def histogram_aggregate(df: DataFrame, value_col: str,

@@ -123,3 +123,104 @@ def test_cdf_interpolates_partial_bin(spark):
     assert row.edge == pytest.approx(0.25, abs=1e-9)
     assert row.below == 0.0
     assert row.above == 1.0
+
+
+def _java_float_bucket(x, lo, bits):
+    import struct as _s
+    y = x / lo
+    b = _s.unpack("<q", _s.pack("<d", y))[0]
+    return (b >> (52 - bits)) - (0x3FF << bits)
+
+
+def _java_approx_log2(v):
+    import struct as _s
+    b = _s.unpack("<q", _s.pack("<d", v))[0]
+    e = ((b & 0x7FF0000000000000) >> 52) - 1024
+    m = _s.unpack("<d", _s.pack("<q", (b & 0x800FFFFFFFFFFFFF) | 0x3FF0000000000000))[0]
+    return m * (2 - m / 3.0) + e - 2.0 / 3.0
+
+
+def test_approx_log2_reference_contract():
+    """LogHistogram.approxLog2 port: error < ±0.01, exact at powers of 2,
+    exact round trip with its pow2 inverse."""
+    from t_digest_spark.operators.histogram import _pow2_approx, approx_log2
+    xs = np.exp(np.linspace(np.log(0.001), np.log(1e6), 20_000))
+    got = np.array([approx_log2(float(x)) for x in xs])
+    assert np.abs(got - np.log2(xs)).max() < 0.01
+    for p in (-8, -1, 0, 1, 10, 40):
+        # "zero error at powers of two" holds mathematically; in FP the same
+        # ~1e-16 arithmetic residue appears in the Java original too
+        assert approx_log2(2.0 ** p) == pytest.approx(p, abs=1e-12)
+    for x in (0.37, 1.0, 5.5, 123.456):
+        assert _pow2_approx(approx_log2(x)) == pytest.approx(x, rel=1e-12)
+    # parity with the Java bit-twiddling formulation
+    for x in (0.001, 0.37, 1.0, 7.3, 1e5):
+        assert approx_log2(x) == _java_approx_log2(x)
+
+
+def test_float_repr_buckets_match_java_bits(spark):
+    """Catalyst float_repr bucket == exact Java doubleToLongBits formula on
+    random positive values (FloatHistogram.java:69-73 parity)."""
+    rng = np.random.default_rng(55)
+    vals = np.exp(rng.uniform(np.log(1.0), np.log(900.0), 4000))
+    spec = HistogramSpec(1.0, 1000.0, kind="float_repr", bins_per_decade=50)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    got = (df.select(spec.bucket(F.col("x")).alias("b"))
+           .toPandas()["b"].to_numpy())
+    want = np.array([_java_float_bucket(float(x), 1.0, spec.bits)
+                     for x in vals])
+    assert (got == want).all()
+    # lowerBound parity: edge[k] <= x < edge[k+1] for in-range values
+    edges = np.array(spec.edges())
+    inr = (want >= 0) & (want < spec.n_bins)
+    assert (edges[want[inr]] <= vals[inr] + 1e-12).all()
+    assert (vals[inr] < edges[want[inr] + 1] + 1e-12).all()
+
+
+def test_log_approx_buckets_match_java(spark):
+    """Catalyst log_approx bucket == (int)(approxLog2(x)*logFactor-logOffset)
+    (LogHistogram.java:93-95 parity)."""
+    rng = np.random.default_rng(56)
+    vals = np.exp(rng.uniform(np.log(1.0), np.log(900.0), 4000))
+    spec = HistogramSpec(1.0, 1000.0, kind="log_approx", epsilon_factor=0.1)
+    df = spark.createDataFrame(pd.DataFrame({"x": vals}))
+    got = (df.select(spec.bucket(F.col("x")).alias("b"))
+           .toPandas()["b"].to_numpy())
+    want = np.array([int(_java_approx_log2(float(x)) * spec.log_factor
+                         - spec.log_offset) for x in vals])
+    assert (got == want).all()
+
+
+def test_new_kinds_aggregate_and_merge(spark):
+    """The reference-layout kinds run through the standard aggregate/merge/
+    quantile machinery."""
+    from t_digest_spark.operators.histogram import histogram_merge
+    rng = np.random.default_rng(57)
+    vals = np.exp(rng.uniform(np.log(2.0), np.log(800.0), 20_000))
+    pdf = pd.DataFrame({"g": np.where(np.arange(20_000) % 2 == 0, "a", "b"),
+                        "x": vals})
+    df = spark.createDataFrame(pdf)
+    for kind, kw in (("float_repr", {"bins_per_decade": 50}),
+                     ("log_approx", {"epsilon_factor": 0.1})):
+        spec = HistogramSpec(1.0, 1000.0, kind=kind, **kw)
+        h = histogram_aggregate(df, "x", ["g"], spec)
+        rows = {r.g: r for r in h.collect()}
+        assert rows["a"].total + rows["b"].total == 20_000
+        merged = histogram_merge(h, None).collect()[0]
+        assert merged.total == 20_000
+        p50 = histogram_quantile(spec, 0.5)
+        got = h.select(p50.alias("p50")).collect()
+        med = np.median(vals)
+        for r in got:
+            assert abs(r.p50 - med) / med < 0.15
+
+
+def test_new_kind_validation():
+    with pytest.raises(ValueError):
+        HistogramSpec(-1.0, 100.0, kind="float_repr")
+    with pytest.raises(ValueError):
+        HistogramSpec(10.0, 15.0, kind="float_repr")      # max <= 2*min
+    with pytest.raises(ValueError):
+        HistogramSpec(1.0, 100.0, kind="float_repr", bins_per_decade=2)
+    with pytest.raises(ValueError):
+        HistogramSpec(1.0, 100.0, kind="log_approx", epsilon_factor=0.9)
