@@ -324,3 +324,23 @@ def test_cosine_pairs_udf_matches_fold(spark):
         (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("fold"),
         cosine_pairs_udf()("va", "vb").alias("blas")).toPandas()
     assert (both["fold"] - both["blas"]).abs().max() < 1e-12
+
+
+def test_table_loader_catalog_and_file_modes(spark, monkeypatch):
+    """Catalog-first loader: file fallback without a catalog; with
+    SPARK_GRAFT_CATALOG set, resolution goes through spark.read.table on the
+    qualified name (exercised against a temp-view-backed name since no
+    Iceberg jars ship in this sandbox)."""
+    from t_digest_spark.sources.tables import load_table
+    df = load_table(spark, "region", "/root/testdata/sf0.001")
+    assert df.count() == 5
+    # catalog mode: qualify through spark_catalog.default (the built-in),
+    # backed by a temp table we create for the test
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet") \
+        .write.mode("overwrite").saveAsTable("default.region")
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_CATALOG", "spark_catalog")
+        got = load_table(spark, "region")
+        assert got.count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.region")
