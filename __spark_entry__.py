@@ -344,6 +344,16 @@ def q_bloom_orders_custkeys(spark, sf_dir):
 # the oracle reproduces the exact columns + constant-true booleans. A bound
 # violation flips a boolean and the driver's hash gate goes red.
 
+def _materialize_small(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a FEW-ROW intermediate (estimate/digest rows — group-count
+    scale by construction) and rebuild it as a local DataFrame, so a plan
+    that references it twice doesn't execute the whole upstream digest build
+    twice. Same pattern as the single-sketch-row collects the sketch layer
+    uses (sketches/spark.py countmin_estimate); never applied to data-scale
+    results."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def _midrank(x: F.Column, est_col: str, n: F.Column) -> F.Column:
     """Exact mid-rank of a (joined, broadcast) estimate column: fraction of
     rows strictly below + half the tied mass (Dist.cdf convention)."""
@@ -359,17 +369,19 @@ def q_tdigest_price_quantiles(spark, sf_dir):
     r1 measured rank errors p50 5e-4, p99 5e-5) with wide safety margins."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
-    est = dig.select(
+    est = _materialize_small(spark, dig.select(
         "l_returnflag",
         quantile_udf(0.5)(*_D).alias("e50"),
         quantile_udf(0.99)(*_D).alias("e99"),
         quantile_udf(0.999)(*_D).alias("e999"),
         trimmed_mean_udf(0.25, 0.75)(*_D).alias("eiq"),
-        cdf_udf(30000.0)(*_D).alias("ecdf"))
+        cdf_udf(30000.0)(*_D).alias("ecdf")))
     x = F.col("l_extendedprice")
     n = F.count(F.lit(1))
     # one pass computes every midrank AND the exact quartile cuts (the
-    # percentile aggregate needs no join columns — fused to save a scan)
+    # percentile aggregate needs no join columns — fused to save a scan);
+    # `ranks` feeds both the iq pass and the final select, so it is
+    # materialized (3 rows) rather than re-executed
     ranks = (li.join(F.broadcast(est), "l_returnflag")
              .groupBy("l_returnflag")
              .agg(n.cast("long").alias("n_rows"),
@@ -383,6 +395,7 @@ def q_tdigest_price_quantiles(spark, sf_dir):
                   F.first("ecdf").alias("ecdf"),
                   F.expr("percentile(l_extendedprice, 0.25)").alias("x25"),
                   F.expr("percentile(l_extendedprice, 0.75)").alias("x75")))
+    ranks = _materialize_small(spark, ranks)
     iq = (li.join(F.broadcast(ranks.select("l_returnflag", "x25", "x75")),
                   "l_returnflag")
           .where((x >= F.col("x25")) & (x <= F.col("x75")))
@@ -459,6 +472,9 @@ def q_source_table_quantiles(spark, sf_dir):
                      F.first("n_files").alias("n_files"),
                      (F.abs(_midrank(x, "e50", cnt) - 0.5) <= 0.015).alias("p50_ok"),
                      (F.abs(_midrank(x, "e99", cnt) - 0.99) <= 0.005).alias("p99_ok")))
+    # per_lang feeds both the total check and the output: materialize the
+    # 6 rows so the synthetic generation + digest build run once, not twice
+    per_lang = _materialize_small(spark, per_lang)
     total_ok = (per_lang.agg(F.sum("n_rows").alias("t"))
                 .select((F.col("t") == n).alias("total_rows_ok")))
     return (per_lang.crossJoin(F.broadcast(total_ok))
@@ -536,7 +552,10 @@ def q_digest_compare_flags(spark, sf_dir):
     arithmetic, not an engine operator), and chi2 must be finite and >= 0."""
     from pyspark.sql.window import Window
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
+    # dig feeds both the base row and the compared rows — materialize the 3
+    # digest rows once instead of building the digest twice
+    dig = _materialize_small(
+        spark, tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"]))
     base = dig.where(F.col("l_returnflag") == "N").select(
         F.col("means").alias("m1"), F.col("weights").alias("w1"),
         F.col("dmin").alias("lo1"), F.col("dmax").alias("hi1"),
