@@ -544,6 +544,67 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.countDistinct("id_a") == 50).alias("all_planted_found"))
 
 
+def q_ivf_topk_clones(spark, sf_dir):
+    """IVF ANN (second scale path next to sign-LSH): planted identical
+    vectors land in their source's cell (deterministic argmax), so each
+    clone's top-1 must be its source at cosine ~1 regardless of nprobe."""
+    from t_digest_spark.operators.ivf import ivf_topk, ivf_train
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    u = emb.unionByName(clones)
+    cents = ivf_train(emb, k=8, dim=64, iters=1)
+    approx = ivf_topk(u, cents, k=3, nprobe=2)
+    top1 = approx.where((F.col("query_id") >= 1_000_000) & (F.col("rank") == 1))
+    good = top1.where((F.col("corpus_id") == F.col("query_id") - 1_000_000)
+                      & (F.col("cosine") >= 0.999999))
+    return good.agg(F.count(F.lit(1)).cast("long").alias("n_clone_top1_correct"),
+                    (F.count(F.lit(1)) == 50).alias("all_clones_matched"))
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting contract: fingerprints are a pure function of
+    content — planted clones share all three fingerprints with their source,
+    and distinct fingerprint count equals distinct content count (collision-
+    free at corpus scale for 64-bit + sha256 prints)."""
+    from t_digest_spark.operators.text import fingerprint
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    fp = fingerprint(docs.unionByName(clones))
+    orig = fp.where(F.col("doc_id") < 1_000_000)
+    clone = fp.where(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("fp_full").alias("c_full"), F.col("content_sha").alias("c_sha"))
+    matched = (orig.join(clone, "doc_id")
+               .where((F.col("fp_full") == F.col("c_full"))
+                      & (F.col("content_sha") == F.col("c_sha"))))
+    n_texts = docs.select("text").distinct().count()
+    distinct_fp = fp.select("fp_full").distinct().count()
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone_fp_matched"),
+        (F.count(F.lit(1)) == 50).alias("all_clones_matched"),
+        F.lit(distinct_fp == n_texts).alias("fp_collision_free"))
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """The full scale-path dedup pipeline fused end-to-end: MinHash-LSH
+    candidates -> exact n-gram Jaccard verification restricted to those
+    candidates -> survivors by min-id. Planted exact duplicates MUST flow
+    through all three stages (signature-identical -> jaccard 1.0 >= thr)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    u = docs.unionByName(clones)
+    cands = minhash_lsh_candidates(u, num_hashes=64, bands=16, n=5)
+    verified = ngram_jaccard_pairs(u, n=5, threshold=0.9, candidates=cands)
+    planted = verified.where((F.col("id_b") == F.col("id_a") + 1_000_000)
+                             & (F.col("jaccard") >= 0.999999))
+    return planted.agg(
+        F.countDistinct("id_a").cast("long").alias("n_planted_verified"),
+        (F.countDistinct("id_a") == 50).alias("all_planted_verified"))
+
+
 def q_digest_compare_flags(spark, sf_dir):
     """Distribution drift scoring (Comparison.java semantics): KS + chi2 of
     each returnflag's price digest against flag N's digest, with a bound
@@ -796,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk_clones": q_ivf_topk_clones,
+        "fingerprint_docs": q_fingerprint_docs,
+        "dedup_pipeline": q_dedup_pipeline,
         "digest_compare_flags": q_digest_compare_flags,
         "kll_events_quantiles": q_kll_events_quantiles,
         "req_tail_quantiles": q_req_tail_quantiles,
@@ -1099,6 +1163,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', cast(count(DISTINCT user_id) as bigint), true
             FROM events
+        """,
+        "ivf_topk_clones": """
+            SELECT count(*) AS n_clone_top1_correct, true AS all_clones_matched
+            FROM embeddings WHERE vec_id < 50
+        """,
+        "fingerprint_docs": """
+            SELECT count(*) AS n_clone_fp_matched, true AS all_clones_matched,
+                   true AS fp_collision_free
+            FROM documents WHERE doc_id < 50
+        """,
+        "dedup_pipeline": """
+            SELECT count(*) AS n_planted_verified, true AS all_planted_verified
+            FROM documents WHERE doc_id < 50
         """,
         "digest_compare_flags": """
             SELECT l_returnflag, count(*) AS n_rows,

@@ -344,3 +344,47 @@ def test_table_loader_catalog_and_file_modes(spark, monkeypatch):
         assert got.count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS default.region")
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF on a planted-cluster corpus (true neighbors at cosine ~0.95):
+    Lloyd cells align with the planted clusters, so nprobe=2 of k=16 cells
+    recovers most brute-force top-1 pairs. (The driver's embeddings table
+    is isotropic — no corpus structure for ANY coarse quantizer to exploit
+    — hence the planted corpus here, like the LSH recall gate above.)"""
+    from t_digest_spark.operators.ivf import ivf_topk, ivf_train
+    from t_digest_spark.operators.similarity import brute_force_topk
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((16, 64))
+    vecs = np.vstack([c + 0.18 * rng.standard_normal((12, 64)) for c in centers])
+    df = _emb(spark, vecs)
+    cents = ivf_train(df, k=16, dim=64, iters=2)
+    assert cents.shape == (16, 64)
+    approx = ivf_topk(df, cents, k=1, nprobe=2)
+    exact = brute_force_topk(df, df, k=1)
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_train_deterministic(spark):
+    from t_digest_spark.operators.ivf import ivf_train
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_train(emb, k=4, dim=64, iters=1)
+    c2 = ivf_train(emb, k=4, dim=64, iters=1)
+    assert (c1 == c2).all()
+
+
+def test_ivf_identical_vectors_same_cell(spark):
+    """A clone lands in its source's cell (deterministic argmax), so planted
+    pairs are always candidates at any nprobe."""
+    from t_digest_spark.operators.ivf import ivf_index, ivf_train
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clones = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    u = emb.unionByName(clones)
+    cents = ivf_train(emb, k=8, dim=64, iters=1)
+    cells = {r.vec_id: r.cell for r in ivf_index(u, cents).select("vec_id", "cell").collect()}
+    for i in range(30):
+        assert cells[i] == cells[i + 1_000_000]
