@@ -64,15 +64,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     sh = char_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
-                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                       F.col(f"b.{id_col}").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("common")))
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"])
+        # candidate-driven order: expand each (id_a, id_b) pair by id_a's
+        # shingles, then keyed lookup of id_b's shingles — cost is linear in
+        # candidate-pairs x shingles-per-doc, NEVER the all-pairs shingle
+        # self-join below (which would run first, then be filtered, if the
+        # candidate set were joined after the aggregation)
+        sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (candidates.join(sa, "id_a")
+                  .join(sb, ["id_b", "shingle"])
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("common")))
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                  .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("common")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
