@@ -284,13 +284,13 @@ def test_auto_n_planes_occupancy_scaling():
     the corpus adds a plane instead of doubling occupancy."""
     from t_digest_spark.operators.similarity import auto_n_planes
     assert auto_n_planes(0) == 4
-    assert auto_n_planes(1000) == 4
-    assert auto_n_planes(64 * (1 << 10)) == 10
-    assert auto_n_planes(64 * (1 << 11)) == 11
+    assert auto_n_planes(60) == 4               # floor
+    assert auto_n_planes(16 * (1 << 10)) == 10
+    assert auto_n_planes(16 * (1 << 11)) == 11
     assert auto_n_planes(10**12) == 24          # capped
     for n in (10**4, 10**6, 10**8):
         p = auto_n_planes(n)
-        assert n / (1 << p) <= 64 * 1.01 or p == 24
+        assert n / (1 << p) <= 16 * 1.01 or p == 24
 
 
 def test_lsh_candidate_observation(spark):
