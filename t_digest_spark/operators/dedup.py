@@ -95,7 +95,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _minhash_sig_udf(num_hashes: int, n: int):
-    """Vectorized minhash over character n-grams (splitmix64 per seed)."""
+    """Vectorized minhash over character n-grams (splitmix64 per seed).
+
+    Shape note (measured, round 2): the per-doc loop with a
+    (unique-codes x num_hashes) broadcast is FASTER than a fully
+    batch-flattened kernel (0.79s vs 1.64s on 5k docs / 1.5M shingles x
+    128 hashes) — per-doc matrices stay cache-resident while a flat pass
+    per hash function is memory-bandwidth-bound, and np.unique pays for
+    its sort by shrinking the matrix (real text repeats shingles).
+    Signature semantics are locked by an independent-formulation
+    equivalence test.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mults = ((np.arange(1, num_hashes + 1, dtype=np.uint64)

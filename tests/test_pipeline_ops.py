@@ -388,3 +388,38 @@ def test_ivf_identical_vectors_same_cell(spark):
     cells = {r.vec_id: r.cell for r in ivf_index(u, cents).select("vec_id", "cell").collect()}
     for i in range(30):
         assert cells[i] == cells[i + 1_000_000]
+
+
+def test_minhash_signature_semantics_locked(spark):
+    """The signature kernel must emit bit-identical signatures to an
+    independent spelled-out formulation (locks the splitmix mix constants
+    and rolling-code base against accidental drift)."""
+    from t_digest_spark.operators.dedup import _minhash_sig_udf
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .where(F.col("doc_id") < 80).select("doc_id", "text"))
+    pdf = docs.toPandas()
+    # add edge cases: empty text and shorter-than-n text
+    pdf = pd.concat([pdf, pd.DataFrame({"doc_id": [9001, 9002],
+                                        "text": ["", "ab"]})],
+                    ignore_index=True)
+    got = next(_minhash_sig_udf(64, 5)(iter([pdf])))
+    sig_got = {int(r.doc_id): list(r.sig) for r in got.itertuples()}
+
+    # independent spelled-out formulation
+    mults = ((np.arange(1, 65, dtype=np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
+    for _, row in pdf.iterrows():
+        b = np.frombuffer(row.text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if b.size < 5:
+            want = np.full(64, np.iinfo(np.int64).max, dtype=np.int64)
+        else:
+            code = np.zeros(b.size - 4, dtype=np.uint64)
+            for k in range(5):
+                code = code * np.uint64(257) + b[k:b.size - 4 + k].astype(np.uint64)
+            code = np.unique(code)
+            z = code[:, None] * mults[None, :]
+            z ^= z >> np.uint64(33)
+            z *= np.uint64(0xFF51AFD7ED558CCD)
+            z ^= z >> np.uint64(33)
+            want = (z.min(axis=0) >> np.uint64(1)).astype(np.int64)
+        assert sig_got[int(row.doc_id)] == list(want), row.doc_id
