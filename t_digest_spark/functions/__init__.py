@@ -112,6 +112,35 @@ def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
                 float(a), float(b))
             for m, w, lo, hi, a, b in zip(means, weights, dmin, dmax, lo_q, hi_q)])
 
+    @pandas_udf("double")
+    def avltree_quantile(means: pd.Series, weights: pd.Series,
+                         dmin: pd.Series, dmax: pd.Series,
+                         q: pd.Series) -> pd.Series:
+        from t_digest_spark.avl import AVLTreeDigest
+        out = []
+        for m, w, lo, hi, qq in zip(means, weights, dmin, dmax, q):
+            d = AVLTreeDigest(delta=delta, scale=scale)
+            d.means = [float(x) for x in m]
+            d.counts = [float(x) for x in w]
+            d.total = float(sum(d.counts))
+            if d.total > 0:
+                d.min = float(lo)
+                d.max = float(hi)
+            out.append(d.quantile(float(qq)))
+        return pd.Series(out)
+
+    @pandas_udf("double")
+    def kll_quantile(items: pd.Series, offsets: pd.Series, kmin: pd.Series,
+                     kmax: pd.Series, count: pd.Series,
+                     q: pd.Series) -> pd.Series:
+        from t_digest_spark.sketches.kll import KllSketch
+        return pd.Series([
+            KllSketch.from_row(it, off, mn, mx, n).quantile(float(qq))
+            for it, off, mn, mx, n, qq
+            in zip(items, offsets, kmin, kmax, count, q)])
+
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
+    spark.udf.register("avltree_quantile", avltree_quantile)
+    spark.udf.register("kll_quantile", kll_quantile)

@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (ArrayType, DoubleType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
 
 from t_digest_spark.core import TDigest
 from t_digest_spark.serde import DIGEST_FIELDS, digest_to_cells
@@ -131,6 +132,87 @@ def with_event_window(df: DataFrame, ts_col: str, window_duration: str,
     if watermark:
         df = df.withWatermark(ts_col, watermark)
     return df.withColumn("win", F.window(ts_col, window_duration)).drop(ts_col)
+
+
+HIST_STATE_SCHEMA = StructType([
+    StructField("counts", ArrayType(DoubleType())),
+    StructField("underflow", DoubleType()),
+    StructField("overflow", DoubleType()),
+])
+
+
+def histogram_stream_aggregate(df: DataFrame, value_col: str,
+                               group_cols: Sequence[str], spec,
+                               window_col: Optional[str] = None,
+                               allowed_lateness_ms: int = 0) -> DataFrame:
+    """Stateful per-key fixed-bin histogram over a streaming DataFrame —
+    completes the stateful accumulator family (digest, KLL, histogram).
+    Output rows carry the batch layout (counts array<long> + underflow/
+    overflow/total) so histogram_merge() and the quantile/cdf expressions
+    apply unchanged. Same windowed state lifecycle as the other two
+    accumulators; histogram state is O(n_bins) per key, so even the
+    unwindowed form is bounded (unlike KLL/digest growth, the array never
+    grows) — still prefer a window for key-space hygiene.
+    Bin indices are computed with NumPy HERE (not via spec.bucket Catalyst
+    expressions) because the fold runs inside the stateful Python worker.
+    """
+    import numpy as np
+
+    group_cols = list(group_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols])
+    for name, typ in (("counts", ArrayType(LongType())),
+                      ("underflow", LongType()), ("overflow", LongType()),
+                      ("total", LongType())):
+        out_schema = out_schema.add(name, typ)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
+    edges = np.asarray(spec.edges(), dtype=np.float64)
+
+    def update(key, pdfs, state: GroupState):
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:
+                    pass
+                return
+        if state.exists:
+            counts_l, under, over = state.get
+            counts = np.asarray(counts_l, dtype=np.float64)
+        else:
+            counts = np.zeros(spec.n_bins)
+            under = over = 0.0
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if not len(vals):
+                continue
+            # searchsorted against the exact edge array reproduces
+            # spec.bucket for every layout incl. float_repr/log_approx
+            b = np.searchsorted(edges, vals, side="right") - 1
+            under += float((vals < edges[0]).sum())
+            over += float((vals >= edges[-1]).sum())
+            inr = (b >= 0) & (b < spec.n_bins) & (vals < edges[-1])
+            counts += np.bincount(b[inr], minlength=spec.n_bins)
+        state.update((counts.tolist(), float(under), float(over)))
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
+        total = int(counts.sum() + under + over)
+        yield pd.DataFrame(
+            [tuple(key) + (counts.astype("int64").tolist(),
+                           int(under), int(over), total)],
+            columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, HIST_STATE_SCHEMA,
+                                    "update", timeout))
 
 
 KLL_STATE_SCHEMA = StructType([

@@ -101,3 +101,38 @@ def test_topk_no_window_funnel(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4   # pmax partial+final, merge partial+final
     assert "BroadcastHashJoin" in plan        # threshold table joins broadcast
+
+
+def test_dedup_pipeline_candidate_driven_join_order(spark):
+    """Candidate-restricted Jaccard: the candidate pairs must DRIVE the
+    shingle joins (restriction before aggregation), not filter the
+    quadratic all-pairs shingle self-join afterwards. Guard: the plan's
+    first aggregate above the shingle join already groups (id_a, id_b) —
+    i.e., there is exactly one common-count aggregate and no aggregate on
+    the unrestricted pair space."""
+    from t_digest_spark.operators.dedup import (minhash_lsh_candidates,
+                                                ngram_jaccard_pairs)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=16, n=5)
+    out = ngram_jaccard_pairs(docs, n=5, threshold=0.9, candidates=cands)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # the optimized plan joins shingles onto the candidate set; the
+    # all-pairs form instead contains a join keyed ONLY on shingle equality
+    import re
+    assert "id_a" in opt and "id_b" in opt
+    shingle_only_join = re.search(r"Join Inner, \(shingle#\d+ = shingle#\d+\)\s*$",
+                                  opt, re.MULTILINE)
+    assert shingle_only_join is None
+
+
+def test_ivf_no_corpus_crossjoin(spark):
+    """IVF probe path: the candidate join must be keyed on the cell column —
+    no cartesian/broadcast-nested-loop over the corpus."""
+    import numpy as np
+    from t_digest_spark.operators.ivf import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.random.default_rng(1).standard_normal((8, 64))
+    plan = _plan(ivf_topk(emb, cents, k=3, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -301,3 +301,44 @@ def test_windowed_kll_stream_expiry(spark):
         assert s.min > -20.0                     # no N(-50,1) samples
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_histogram_stream_matches_batch(spark):
+    """Streaming histogram state == the batch histogram aggregate after all
+    triggers, and emitted rows merge with the batch operators."""
+    from t_digest_spark.operators.histogram import (HistogramSpec,
+                                                    histogram_aggregate)
+    from t_digest_spark.streaming import histogram_stream_aggregate
+
+    rng = np.random.default_rng(61)
+    b1 = pd.DataFrame({"g": ["s"] * 3000, "x": rng.uniform(0, 100, 3000)})
+    b2 = pd.DataFrame({"g": ["s"] * 2000, "x": rng.uniform(0, 100, 2000)})
+    spec = HistogramSpec(0.0, 100.0, n_bins=20, kind="linear")
+    work = tempfile.mkdtemp(prefix="hist_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, b1, "b1")
+        stream = (spark.readStream.schema("g string, x double")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        q = (histogram_stream_aggregate(stream, "x", ["g"], spec)
+             .writeStream.format("memory").queryName("hist_stream")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from hist_stream").collect()
+        last = rows[-1]
+        assert last.total == 5000
+        both = pd.concat([b1, b2])
+        batch = histogram_aggregate(
+            spark.createDataFrame(both), "x", ["g"], spec).collect()[0]
+        assert list(last.counts) == list(batch.counts)
+        assert last.underflow == batch.underflow
+        assert last.overflow == batch.overflow
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
