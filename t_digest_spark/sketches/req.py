@@ -27,6 +27,7 @@ high ranks), vs KLL/t-digest's additive / scale-function-shaped error.
 from __future__ import annotations
 
 import math
+import struct
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -275,6 +276,111 @@ class ReqSketch:
         s.n = int(n)
         s.min = float(mn) if s.n else math.inf
         s.max = float(mx) if s.n else -math.inf
+        return s
+
+    # ------------------------------------------- DataSketches binary serde
+    #
+    # Interchange format of the reference's vendored ReqSketch
+    # (ReqSerDe.java:36-127 layout doc, :132-226 heapify; native byte order
+    # -> little-endian here). Header (8 bytes): preInts, serVer=1, famID=17,
+    # flags (bit2 EMPTY, bit3 HRA, bit4 RAW_ITEMS, bit5 L0_SORTED), K u16,
+    # numCompactors u8, numRawItems u8. Four body formats: EMPTY (header
+    # only), RAWITEMS (n <= MIN_K plain doubles), EXACT (one serialized
+    # compactor), ESTIMATION (N u64, min/max doubles, then compactors).
+    # Compactor image (ReqCompactor.toByteArray :297-312): state u64,
+    # sectionSizeFlt f32, lgWeight u8, numSections u8, 2 pad, count i32,
+    # count doubles.
+
+    _DS_FAMILY = 17
+
+    def _ds_flags(self, raw_items: bool) -> int:
+        return ((4 if self.n == 0 else 0) | (8 if self.hra else 0)
+                | (16 if raw_items else 0) | 32)   # buffers written sorted
+
+    def to_datasketches_bytes(self) -> bytes:
+        """Serialize in the DataSketches ReqSketch binary format."""
+        if self.n == 0:
+            return struct.pack("<BBBBHBB", 2, 1, self._DS_FAMILY,
+                               self._ds_flags(False), self.k, 1, 0)
+        if self.n <= MIN_K:
+            items = np.sort(self.compactors[0].buf)
+            out = bytearray(struct.pack("<BBBBHBB", 2, 1, self._DS_FAMILY,
+                                        self._ds_flags(True), self.k, 1,
+                                        int(self.n)))
+            out += items.astype("<f8").tobytes()
+            return bytes(out)
+
+        def compactor_bytes(c: _Compactor) -> bytes:
+            buf = np.sort(c.buf)
+            return (struct.pack("<qfBBxxi", int(c.state),
+                                float(c.section_size_flt), int(c.lg_weight),
+                                int(c.num_sections), int(buf.size))
+                    + buf.astype("<f8").tobytes())
+
+        if len(self.compactors) == 1:
+            out = bytearray(struct.pack("<BBBBHBB", 2, 1, self._DS_FAMILY,
+                                        self._ds_flags(False), self.k, 1, 0))
+            out += compactor_bytes(self.compactors[0])
+            return bytes(out)
+        out = bytearray(struct.pack("<BBBBHBB", 4, 1, self._DS_FAMILY,
+                                    self._ds_flags(False), self.k,
+                                    len(self.compactors), 0))
+        out += struct.pack("<qdd", self.n, self.min, self.max)
+        for c in self.compactors:
+            out += compactor_bytes(c)
+        return bytes(out)
+
+    @classmethod
+    def from_datasketches_bytes(cls, data: bytes) -> "ReqSketch":
+        """Heapify a DataSketches ReqSketch byte image (ReqSerDe.heapify)."""
+        preints, ser_ver, family, flags, k, n_comp, n_raw = \
+            struct.unpack_from("<BBBBHBB", data, 0)
+        if family != cls._DS_FAMILY:
+            raise ValueError(f"not a REQ sketch image (family {family})")
+        if ser_ver != 1:
+            raise ValueError(f"unsupported serial version {ser_ver}")
+        empty = bool(flags & 4)
+        hra = bool(flags & 8)
+        raw_items = bool(flags & 16)
+        pos = 8
+        s = cls(k, hra)
+        if empty:
+            return s
+        if raw_items:
+            vals = np.frombuffer(data, dtype="<f8", offset=pos, count=n_raw)
+            s.update_values(vals)
+            return s
+
+        def read_compactor(pos: int, lg_weight: int):
+            state, ssf, lgw, nsec, cnt = struct.unpack_from("<qfBBxxi",
+                                                            data, pos)
+            pos += struct.calcsize("<qfBBxxi")
+            buf = np.frombuffer(data, dtype="<f8", offset=pos, count=cnt)
+            pos += 8 * cnt
+            c = _Compactor(k, lgw)
+            c.buf = buf.astype(np.float64)
+            c.state = int(state)
+            c.section_size_flt = float(ssf)
+            c.section_size = int(round(ssf))
+            c.num_sections = int(nsec)
+            return c, pos
+
+        if n_comp == 1:       # EXACT
+            c, pos = read_compactor(pos, 0)
+            s.compactors = [c]
+            s.n = int(c.buf.size)
+            s.min = float(c.buf.min()) if c.buf.size else math.inf
+            s.max = float(c.buf.max()) if c.buf.size else -math.inf
+            return s
+        n, mn, mx = struct.unpack_from("<qdd", data, pos)
+        pos += struct.calcsize("<qdd")
+        s.compactors = []
+        for h in range(n_comp):
+            c, pos = read_compactor(pos, h)
+            s.compactors.append(c)
+        s.n = int(n)
+        s.min = float(mn)
+        s.max = float(mx)
         return s
 
     def __repr__(self) -> str:

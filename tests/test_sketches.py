@@ -347,3 +347,54 @@ class TestKllDataSketchesSerde:
         for h in range(nl - 1):
             assert idx[h + 1] - idx[h] == sizes[h]
         assert cap - idx[-1] == sizes[-1]
+
+
+class TestReqDataSketchesSerde:
+    """DataSketches ReqSketch binary interchange (ReqSerDe.java:36-127):
+    all four body formats, documented byte addresses, round-trips."""
+
+    def test_estimation_roundtrip(self):
+        from t_digest_spark.sketches.req import ReqSketch
+        s = ReqSketch.from_values(
+            np.random.default_rng(5).uniform(0, 1, 50_000), k=12, hra=True)
+        assert len(s.compactors) > 1
+        b = s.to_datasketches_bytes()
+        assert b[0] == 4 and b[1] == 1 and b[2] == 17   # preInts, serVer, famID
+        assert b[3] & 8                                  # HRA flag
+        import struct
+        assert struct.unpack_from("<H", b, 4)[0] == 12   # K
+        assert b[6] == len(s.compactors)
+        r = ReqSketch.from_datasketches_bytes(b)
+        assert (r.n, r.min, r.max, r.k, r.hra) == (s.n, s.min, s.max, s.k, s.hra)
+        assert r.num_retained == s.num_retained
+        for q in (0.5, 0.99, 0.999):
+            assert r.quantile(q) == s.quantile(q)
+        # restored sketch keeps working
+        r.update_values(np.random.default_rng(6).uniform(0, 1, 10_000))
+        assert r.n == s.n + 10_000
+
+    def test_exact_and_rawitems_and_empty(self):
+        from t_digest_spark.sketches.req import ReqSketch
+        e = ReqSketch(k=12)
+        be = e.to_datasketches_bytes()
+        assert len(be) == 8 and be[3] & 4                # EMPTY flag
+        assert ReqSketch.from_datasketches_bytes(be).n == 0
+        raw = ReqSketch(k=12)
+        raw.update_values([3.0, 1.0, 2.0])
+        br = raw.to_datasketches_bytes()
+        assert br[3] & 16 and br[7] == 3                 # RAW_ITEMS, count
+        rr = ReqSketch.from_datasketches_bytes(br)
+        assert rr.n == 3 and rr.quantile(1.0) == 3.0
+        ex = ReqSketch(k=12)
+        ex.update_values(np.arange(30, dtype=np.float64))
+        if len(ex.compactors) == 1:
+            bx = ex.to_datasketches_bytes()
+            assert bx[0] == 2 and bx[6] == 1             # EXACT: preInts=2
+            rx = ReqSketch.from_datasketches_bytes(bx)
+            assert rx.n == 30 and rx.min == 0.0 and rx.max == 29.0
+
+    def test_rejects_foreign(self):
+        from t_digest_spark.sketches.req import ReqSketch
+        with pytest.raises(ValueError):
+            ReqSketch.from_datasketches_bytes(
+                bytes([2, 1, 15, 0, 12, 0, 1, 0]))       # KLL family id
