@@ -544,6 +544,64 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.countDistinct("id_a") == 50).alias("all_planted_found"))
 
 
+def q_digest_rollup(spark, sf_dir):
+    """Merge algebra in the driver gate (§2.4): leaf digests built per
+    (priority, status) re-aggregate by priority alone via tdigest_merge —
+    NO re-scan of raw rows. Exact columns (rolled-up counts, min, max) are
+    SQL-checkable; the rolled-up p50's mid-rank must stay in the digest
+    envelope, proving merged digests answer like directly-built ones."""
+    from t_digest_spark.operators.aggregation import tdigest_merge
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+    leaf = tdigest_aggregate(orders, "o_totalprice",
+                             ["o_orderpriority", "o_orderstatus"])
+    rolled = tdigest_merge(leaf, ["o_orderpriority"])
+    est = _materialize_small(spark, rolled.select(
+        "o_orderpriority",
+        F.col("count").cast("long").alias("n_orders"),
+        F.col("dmin").alias("min_price"),
+        F.col("dmax").alias("max_price"),
+        quantile_udf(0.5)(*_D).alias("e50")))
+    x = F.col("o_totalprice")
+    n = F.count(F.lit(1))
+    return (orders.join(F.broadcast(est), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.first("n_orders").alias("n_orders"),
+                 F.first("min_price").alias("min_price"),
+                 F.first("max_price").alias("max_price"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok")))
+
+
+def q_weighted_digest_orders(spark, sf_dir):
+    """Weighted ingestion surface (add(x, w), TDigest.java:92): digest of
+    o_totalprice weighted by (1 + o_custkey % 3). Weighted count = exact
+    sum of weights (SQL-checkable); the weighted p50's WEIGHTED mid-rank
+    must stay in the digest envelope."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice",
+        (F.lit(1) + F.pmod(F.col("o_custkey"), F.lit(3)))
+        .cast("double").alias("w"))
+    dig = tdigest_aggregate(orders, "o_totalprice", ["o_orderpriority"],
+                            weight_col="w")
+    est = _materialize_small(spark, dig.select(
+        "o_orderpriority",
+        F.col("count").cast("long").alias("total_weight"),
+        quantile_udf(0.5)(*_D).alias("e50")))
+    x = F.col("o_totalprice")
+    wsum = F.sum("w")
+    wrank = ((F.sum(F.when(x < F.col("e50"), F.col("w")).otherwise(0.0))
+              + F.sum(F.when(x <= F.col("e50"), F.col("w")).otherwise(0.0)))
+             / (F.lit(2.0) * wsum))
+    # Weighted bound is looser than the unit-weight one: a weighted point
+    # can never split across clusters (aggregation.py pre_aggregate note),
+    # so the quantile can sit up to ~half the heaviest cluster's mass off —
+    # q(1-q)*Z(delta,n)/delta/2 ~ 0.039 at the median for delta=100 k2.
+    return (orders.join(F.broadcast(est), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.first("total_weight").alias("total_weight"),
+                 (F.abs(wrank - 0.5) <= 0.03).alias("p50_ok")))
+
+
 def q_ivf_topk_clones(spark, sf_dir):
     """IVF ANN (second scale path next to sign-LSH): planted identical
     vectors land in their source's cell (deterministic argmax), so each
@@ -763,11 +821,17 @@ def q_streaming_digest_events(spark, sf_dir):
     from t_digest_spark.streaming import tdigest_stream_aggregate
     work = tempfile.mkdtemp(prefix="tdigest_stream_q_")
     ckpt = os.path.join(work, "ckpt")
-    in_dir = os.path.join(work, "in")
     # FileStreamSource requires a directory; stage the table as 4 chunk files
-    # so the stateful operator sees several triggers, not one.
+    # so the stateful operator sees several triggers, not one. The staged
+    # copy is deterministic per sf_dir, so it is cached across runs; the
+    # CHECKPOINT stays per-run (a reused checkpoint would resume old state).
+    import hashlib as _hl
+    in_dir = os.path.join(
+        tempfile.gettempdir(),
+        "tdigest_stream_stage_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
     ev = _t(spark, sf_dir, "events")
-    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        ev.repartition(4).write.mode("overwrite").parquet(in_dir)
     stream = (spark.readStream
               .schema(ev.schema)
               .option("maxFilesPerTrigger", "1")
@@ -857,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "digest_rollup": q_digest_rollup,
+        "weighted_digest_orders": q_weighted_digest_orders,
         "ivf_topk_clones": q_ivf_topk_clones,
         "fingerprint_docs": q_fingerprint_docs,
         "dedup_pipeline": q_dedup_pipeline,
@@ -1163,6 +1229,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', cast(count(DISTINCT user_id) as bigint), true
             FROM events
+        """,
+        "digest_rollup": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   true AS p50_ok
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "weighted_digest_orders": """
+            SELECT o_orderpriority,
+                   cast(sum(1 + o_custkey % 3) as bigint) AS total_weight,
+                   true AS p50_ok
+            FROM orders GROUP BY o_orderpriority
         """,
         "ivf_topk_clones": """
             SELECT count(*) AS n_clone_top1_correct, true AS all_clones_matched
