@@ -544,6 +544,40 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.countDistinct("id_a") == 50).alias("all_planted_found"))
 
 
+def q_checkpoint_resume(spark, sf_dir):
+    """Checkpoint/resume surface in the driver gate: digests over the first
+    half of lineitem checkpoint to parquet; the second half folds into the
+    restored state via resume_aggregate. Resumed counts/min/max must equal
+    the full table exactly (mergeability), and the resumed p50's mid-rank
+    must stay in the digest envelope — split-invariance of the sketch."""
+    import tempfile
+    from t_digest_spark.operators.checkpoint import (resume_aggregate,
+                                                     write_checkpoint)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey")
+    first = li.where(F.col("l_orderkey") % 2 == 0)
+    second = li.where(F.col("l_orderkey") % 2 == 1)
+    ck = tempfile.mkdtemp(prefix="tdigest_ckpt_q_")
+    dig1 = tdigest_aggregate(first, "l_extendedprice", ["l_returnflag"])
+    write_checkpoint(dig1, ck, run_id="half1")
+    resumed = resume_aggregate(second, ck, "l_extendedprice",
+                               ["l_returnflag"])
+    est = _materialize_small(spark, resumed.select(
+        "l_returnflag",
+        F.col("count").cast("long").alias("n_rows"),
+        F.col("dmin").alias("min_price"),
+        F.col("dmax").alias("max_price"),
+        quantile_udf(0.5)(*_D).alias("e50")))
+    x = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    return (li.join(F.broadcast(est), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.first("n_rows").alias("n_rows"),
+                 F.first("min_price").alias("min_price"),
+                 F.first("max_price").alias("max_price"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok")))
+
+
 def q_digest_rollup(spark, sf_dir):
     """Merge algebra in the driver gate (§2.4): leaf digests built per
     (priority, status) re-aggregate by priority alone via tdigest_merge —
@@ -921,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "checkpoint_resume": q_checkpoint_resume,
         "digest_rollup": q_digest_rollup,
         "weighted_digest_orders": q_weighted_digest_orders,
         "ivf_topk_clones": q_ivf_topk_clones,
@@ -1229,6 +1264,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL', cast(count(DISTINCT user_id) as bigint), true
             FROM events
+        """,
+        "checkpoint_resume": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   true AS p50_ok
+            FROM lineitem GROUP BY l_returnflag
         """,
         "digest_rollup": """
             SELECT o_orderpriority, count(*) AS n_orders,
