@@ -87,3 +87,61 @@ def test_digest_cdf_bounds_and_monotone(vals):
     if hi > lo:
         assert d.cdf(lo - 1.0) == 0.0
         assert d.cdf(hi + 1.0) == 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(value_lists)
+def test_avl_structural_invariants(vals):
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest.from_values(np.asarray(vals))
+    assert d.count == len(vals)
+    assert d.min == min(vals)
+    assert d.max == max(vals)
+    # centroid means stay sorted and weights conserve mass
+    assert all(d.means[i] <= d.means[i + 1] for i in range(len(d.means) - 1))
+    assert abs(sum(d.counts) - len(vals)) < 1e-9
+    q = [d.quantile(x / 10) for x in range(11)]
+    assert all(min(vals) <= v <= max(vals) for v in q)
+    assert all(q[i] <= q[i + 1] + 1e-12 for i in range(10))   # monotone
+
+
+@settings(max_examples=40, deadline=None)
+@given(value_lists)
+def test_avl_serde_identity(vals):
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest.from_values(np.asarray(vals))
+    r = AVLTreeDigest.from_bytes(d.to_bytes())
+    assert r.count == d.count
+    assert r.min == d.min and r.max == d.max
+
+
+@settings(max_examples=40, deadline=None)
+@given(value_lists)
+def test_kll_datasketches_serde_identity(vals):
+    s = KllSketch.from_values(np.asarray(vals))
+    r = KllSketch.from_datasketches_bytes(s.to_datasketches_bytes())
+    assert (r.n, r.min, r.max, r.num_retained) == \
+        (s.n, s.min, s.max, s.num_retained)
+    for q in (0.1, 0.5, 0.9):
+        assert r.quantile(q) == s.quantile(q)
+
+
+@settings(max_examples=40, deadline=None)
+@given(value_lists)
+def test_req_datasketches_serde_identity(vals):
+    from t_digest_spark.sketches.req import ReqSketch
+    s = ReqSketch.from_values(np.asarray(vals))
+    r = ReqSketch.from_datasketches_bytes(s.to_datasketches_bytes())
+    assert (r.n, r.num_retained) == (s.n, s.num_retained)
+    if s.n:
+        assert (r.min, r.max) == (s.min, s.max)
+    for q in (0.1, 0.5, 0.9):
+        assert r.quantile(q) == s.quantile(q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(min_value=-1.0, max_value=1.0,
+                 allow_nan=False, width=64))
+def test_fast_asin_error_bound_everywhere(x):
+    from t_digest_spark.scales import fast_asin
+    assert abs(fast_asin(x) - math.asin(x)) < 1e-6
