@@ -907,6 +907,77 @@ def q_streaming_digest_events(spark, sf_dir):
                  (F.abs(_midrank(x, "e99", n) - 0.99) <= 0.005).alias("p99_ok")))
 
 
+def q_streaming_windowed_digest(spark, sf_dir):
+    """Event-time WINDOWED stateful digests in the driver gate: events
+    replay in four time-ordered chunks; per-(1-day window, type) digest
+    state lives under a 2-day watermark with event-time expiry. Because
+    chunks are time-partitioned, every window's data is complete before its
+    state can expire, so the last update-mode emission per key carries
+    EXACT counts — SQL-checkable against date_trunc buckets — and the
+    windowed p50 mid-rank must stay in the digest envelope."""
+    import hashlib as _hl
+    import tempfile
+    from pyspark.sql.window import Window
+    from t_digest_spark.streaming import (tdigest_stream_aggregate,
+                                          with_event_window)
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    in_dir = os.path.join(
+        tempfile.gettempdir(),
+        "tdigest_winstream_v2_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        pdf = ev.orderBy("ts").toPandas()
+        # micro-precision timestamps: pandas defaults to ns, which parquet
+        # stores as plain INT64 that Spark's timestamp reader rejects
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        os.makedirs(in_dir, exist_ok=True)
+        qsize = (len(pdf) + 3) // 4
+        for i in range(4):     # sequential writes -> ordered file mod times
+            pdf.iloc[i * qsize:(i + 1) * qsize].to_parquet(
+                os.path.join(in_dir, f"chunk{i}.parquet"), index=False)
+        open(os.path.join(in_dir, "_SUCCESS"), "w").close()
+    stream = (spark.readStream.schema("ts timestamp, event_type string, value double")
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    windowed = with_event_window(stream, "ts", "1 day", watermark="2 days")
+    digests = tdigest_stream_aggregate(windowed, "value",
+                                       ["win", "event_type"],
+                                       window_col="win")
+    name = "stream_windowed_digest_sink"
+    work = tempfile.mkdtemp(prefix="tdigest_winstream_q_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (digests.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    latest = (spark.table(name)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("win", "event_type")
+                  .orderBy(F.desc("count"))))
+              .where(F.col("__rn") == 1))
+    est = _materialize_small(spark, latest.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+        "event_type",
+        F.col("count").cast("long").alias("n_events"),
+        quantile_udf(0.5)(*_D).alias("e50")))
+    x = F.col("value")
+    n = F.count(F.lit(1))
+    # granularity-aware bound: per-(day, type) groups are small, so the
+    # mid-rank of even an EXACT median is up to ~1/n off 0.5
+    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n)
+    batch = ev.withColumn("win_day", F.date_format(F.date_trunc("day", "ts"),
+                                                   "yyyy-MM-dd"))
+    return (batch.join(F.broadcast(est), ["win_day", "event_type"])
+            .groupBy("win_day", "event_type")
+            .agg(F.first("n_events").alias("n_events"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok")))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic media -> hash-fake features ->
     per-kind stats (decode itself stubbed; Spark plumbing real)."""
@@ -967,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_hot_users": q_countmin_hot_users,
         "hll_distinct_users": q_hll_distinct_users,
         "streaming_digest_events": q_streaming_digest_events,
+        "streaming_windowed_digest": q_streaming_windowed_digest,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1308,6 +1380,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    true AS p50_ok, true AS p99_ok
             FROM events GROUP BY event_type
+        """,
+        "streaming_windowed_digest": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
+                   event_type, count(*) AS n_events, true AS p50_ok
+            FROM events GROUP BY 1, 2
         """,
         "multimodal_features": """
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,
