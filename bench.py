@@ -112,6 +112,23 @@ def main():
         flagship = {"throughput_rows_per_sec": 0.0, "wall_sec": None,
                     "rank_error": None}
 
+    # single-core kernel steady state (comparable to the reference's
+    # MergingDigest benchmark loop, 3.6-9.7M adds/s): warm memory first
+    # (first-touch page faults are pathological in this sandbox), min of 3
+    try:
+        from t_digest_spark.core import TDigest
+        kv = np.random.default_rng(7).normal(0, 1, 2_000_000)
+        _ = np.sort(kv.copy())
+        TDigest.from_values(kv[:100_000])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            TDigest.from_values(kv)
+            best = min(best, time.perf_counter() - t0)
+        kernel_pts_per_sec = round(len(kv) / best, 1)
+    except Exception:
+        kernel_pts_per_sec = None
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "total_query_wall_sec",
@@ -120,6 +137,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "kernel_pts_per_sec_single_core": kernel_pts_per_sec,
         "flagship_digest_rows_per_sec": round(flagship["throughput_rows_per_sec"], 1),
         "flagship_wall_sec": flagship["wall_sec"] and round(flagship["wall_sec"], 3),
         "rank_error": flagship["rank_error"],
