@@ -49,6 +49,10 @@ def topk_per_key(df: DataFrame, key_cols: Sequence[str], order_col: str,
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # explicit null semantics: rows with a NULL order value can never rank
+    # (they compare UNKNOWN against the threshold and would silently drop
+    # in some stages but not others) — filter them once, up front
+    df = df.where(F.col(order_col).isNotNull())
     key_cols = list(key_cols)
     tiebreak_cols = list(tiebreak_cols)
     if payload_cols is None:

@@ -423,3 +423,15 @@ def test_minhash_signature_semantics_locked(spark):
             z ^= z >> np.uint64(33)
             want = (z.min(axis=0) >> np.uint64(1)).astype(np.int64)
         assert sig_got[int(row.doc_id)] == list(want), row.doc_id
+
+
+def test_topk_per_key_null_order_values(spark):
+    """NULL order values are excluded consistently (not ranked, not
+    threshold-poisoning)."""
+    from t_digest_spark.operators.topk import topk_per_key
+    pdf = pd.DataFrame({"k": ["a"] * 6, "id": range(6),
+                        "v": [1.0, None, 3.0, None, 5.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    got = (topk_per_key(df, ["k"], "v", 2, tiebreak_cols=["id"])
+           .orderBy("rnk").collect())
+    assert [(r.rnk, r.v) for r in got] == [(1, 5.0), (2, 3.0)]
