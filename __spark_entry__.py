@@ -344,6 +344,17 @@ def q_bloom_orders_custkeys(spark, sf_dir):
 # the oracle reproduces the exact columns + constant-true booleans. A bound
 # violation flips a boolean and the driver's hash gate goes red.
 
+def _stage_key(sf_dir: str, table: str = "events") -> str:
+    """Cache key for staged streaming input: fingerprints the SOURCE parquet
+    (path + mtime + size), so regenerated testdata at the same path busts
+    the cache instead of silently streaming stale rows."""
+    import hashlib
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return hashlib.sha1(
+        f"{p}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+
+
 def _materialize_small(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Collect a FEW-ROW intermediate (estimate/digest rows — group-count
     scale by construction) and rebuild it as a local DataFrame, so a plan
@@ -736,15 +747,22 @@ def q_digest_compare_flags(spark, sf_dir):
                   .crossJoin(F.broadcast(cmps))
                   .select("cmp", F.col("l_extendedprice").alias("x"),
                           F.lit(1).alias("isb"))))
+    # aggregate to per-(cmp, DISTINCT value) counts BEFORE the cumulative
+    # window: the window's input shrinks from every row to the distinct
+    # value domain (hash-aggregated in parallel with map-side combine), so
+    # the per-cmp ordering task is bounded by value cardinality, not data
+    # size — the same no-full-key-funnel rule topk_per_key follows
+    g = (sample.groupBy("cmp", "x")
+         .agg(F.sum("isb").alias("nb"),
+              F.sum(1 - F.col("isb")).alias("no")))
     wcum = (Window.partitionBy("cmp").orderBy("x")
-            .rangeBetween(Window.unboundedPreceding, 0))
+            .rowsBetween(Window.unboundedPreceding, 0))
     wall = Window.partitionBy("cmp")
-    diffs = sample.select(
+    diffs = g.select(
         "cmp",
-        F.abs(F.sum(1 - F.col("isb")).over(wcum).cast("double")
-              / F.sum(1 - F.col("isb")).over(wall)
-              - F.sum("isb").over(wcum).cast("double")
-              / F.sum("isb").over(wall)).alias("d"))
+        F.abs(F.sum("no").over(wcum).cast("double") / F.sum("no").over(wall)
+              - F.sum("nb").over(wcum).cast("double")
+              / F.sum("nb").over(wall)).alias("d"))
     exact = diffs.groupBy("cmp").agg(F.max("d").alias("ks_exact"))
     return (scored.join(exact, scored.l_returnflag == exact.cmp)
             .select("l_returnflag", F.col("n_cmp").cast("long").alias("n_rows"),
@@ -859,11 +877,9 @@ def q_streaming_digest_events(spark, sf_dir):
     # so the stateful operator sees several triggers, not one. The staged
     # copy is deterministic per sf_dir, so it is cached across runs; the
     # CHECKPOINT stays per-run (a reused checkpoint would resume old state).
-    import hashlib as _hl
-    in_dir = os.path.join(
-        tempfile.gettempdir(),
-        "tdigest_stream_stage_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
     ev = _t(spark, sf_dir, "events")
+    in_dir = os.path.join(tempfile.gettempdir(),
+                          "tdigest_stream_stage_" + _stage_key(sf_dir))
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         ev.repartition(4).write.mode("overwrite").parquet(in_dir)
     stream = (spark.readStream
@@ -915,15 +931,13 @@ def q_streaming_windowed_digest(spark, sf_dir):
     state can expire, so the last update-mode emission per key carries
     EXACT counts — SQL-checkable against date_trunc buckets — and the
     windowed p50 mid-rank must stay in the digest envelope."""
-    import hashlib as _hl
     import tempfile
     from pyspark.sql.window import Window
     from t_digest_spark.streaming import (tdigest_stream_aggregate,
                                           with_event_window)
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    in_dir = os.path.join(
-        tempfile.gettempdir(),
-        "tdigest_winstream_v2_" + _hl.sha1(sf_dir.encode()).hexdigest()[:12])
+    in_dir = os.path.join(tempfile.gettempdir(),
+                          "tdigest_winstream_" + _stage_key(sf_dir))
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
         pdf = ev.orderBy("ts").toPandas()
         # micro-precision timestamps: pandas defaults to ns, which parquet
@@ -1114,7 +1128,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, event_id, user_id, value,
                          row_number() OVER (PARTITION BY event_type
                                             ORDER BY value DESC, event_id ASC) AS rnk
-                  FROM events)
+                  FROM events WHERE value IS NOT NULL)
             WHERE rnk <= 3
         """,
         "dedup_exact": """

@@ -215,6 +215,21 @@ class AVLTreeDigest:
         d.add_values(values, weights)
         return d
 
+    @classmethod
+    def from_cells(cls, means, weights, dmin, dmax, delta: float = 100.0,
+                   scale: str = "k2", seed: int = 42) -> "AVLTreeDigest":
+        """Rehydrate a digest shell from the shared digest row layout
+        (means, weights, dmin, dmax) — the ONE place the cell contract
+        lives; every UDF/aggregation surface goes through here."""
+        d = cls(delta=delta, scale=scale, seed=seed)
+        d.means = [float(x) for x in means]
+        d.counts = [float(x) for x in weights]
+        d.total = float(sum(d.counts))
+        if d.total > 0:
+            d.min = float(dmin)
+            d.max = float(dmax)
+        return d
+
     def merge(self, others: Iterable["AVLTreeDigest"]) -> "AVLTreeDigest":
         """add(List<TDigest>) (AVLTreeDigest.java:75-83): fold every centroid
         of every input into this digest, centroid order preserved."""
@@ -366,9 +381,21 @@ class AVLTreeDigest:
     def to_bytes(self, small: bool = False) -> bytes:
         """Wire formats of AVLTreeDigest.asBytes/asSmallBytes (:501-541):
         big-endian; verbose = doubles + int counts, small = float mean
-        deltas + varint counts. Counts round to int (the reference's count
-        type)."""
+        deltas + varint counts.
+
+        The reference wire format stores INT counts; this package accepts
+        float weights, so serialization refuses digests whose centroid
+        weights are not (within 1e-9) positive integers — silently rounding
+        would change the total count, and a weight rounding to 0 would make
+        the image unreadable (fromBytes re-ADDS centroids and add rejects
+        w <= 0)."""
         self.compress()
+        for c in self.counts:
+            r = round(c)
+            if r < 1 or abs(c - r) > 1e-9:
+                raise ValueError(
+                    f"cannot serialize centroid weight {c!r}: the reference "
+                    "wire format stores positive integer counts")
         n = len(self.means)
         if small:
             out = bytearray(struct.pack(">idddi", _SMALL_ENCODING, self.min,
@@ -448,15 +475,7 @@ def avl_quantile_udf(q: float, delta: float = 100.0, scale: str = "k2"):
     @pandas_udf("double")
     def _q(means: pd.Series, weights: pd.Series, dmin: pd.Series,
            dmax: pd.Series) -> pd.Series:
-        out = []
-        for m, w, lo, hi in zip(means, weights, dmin, dmax):
-            d = AVLTreeDigest(delta=delta, scale=scale)
-            d.means = [float(x) for x in m]
-            d.counts = [float(x) for x in w]
-            d.total = float(sum(d.counts))
-            if d.total > 0:
-                d.min = float(lo)
-                d.max = float(hi)
-            out.append(d.quantile(q))
-        return pd.Series(out)
+        return pd.Series([
+            AVLTreeDigest.from_cells(m, w, lo, hi, delta, scale).quantile(q)
+            for m, w, lo, hi in zip(means, weights, dmin, dmax)])
     return _q

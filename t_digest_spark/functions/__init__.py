@@ -117,17 +117,10 @@ def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
                          dmin: pd.Series, dmax: pd.Series,
                          q: pd.Series) -> pd.Series:
         from t_digest_spark.avl import AVLTreeDigest
-        out = []
-        for m, w, lo, hi, qq in zip(means, weights, dmin, dmax, q):
-            d = AVLTreeDigest(delta=delta, scale=scale)
-            d.means = [float(x) for x in m]
-            d.counts = [float(x) for x in w]
-            d.total = float(sum(d.counts))
-            if d.total > 0:
-                d.min = float(lo)
-                d.max = float(hi)
-            out.append(d.quantile(float(qq)))
-        return pd.Series(out)
+        return pd.Series([
+            AVLTreeDigest.from_cells(m, w, lo, hi, delta, scale)
+            .quantile(float(qq))
+            for m, w, lo, hi, qq in zip(means, weights, dmin, dmax, q)])
 
     @pandas_udf("double")
     def kll_quantile(items: pd.Series, offsets: pd.Series, kmin: pd.Series,

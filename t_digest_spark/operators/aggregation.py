@@ -267,14 +267,8 @@ def tdigest_quantile_aggregate(df: DataFrame, value_col: str,
 
 def _avl_from_cells(means, weights, dmin, dmax, delta, scale, seed=42):
     from t_digest_spark.avl import AVLTreeDigest
-    d = AVLTreeDigest(delta=delta, scale=scale, seed=seed)
-    d.means = [float(x) for x in means]
-    d.counts = [float(x) for x in weights]
-    d.total = float(sum(d.counts))
-    if d.total > 0:
-        d.min = float(dmin)
-        d.max = float(dmax)
-    return d
+    return AVLTreeDigest.from_cells(means, weights, dmin, dmax,
+                                    delta, scale, seed)
 
 
 def avltree_aggregate(df: DataFrame, value_col: str,

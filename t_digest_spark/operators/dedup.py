@@ -69,7 +69,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # shingles, then keyed lookup of id_b's shingles — cost is linear in
         # candidate-pairs x shingles-per-doc, NEVER the all-pairs shingle
         # self-join below (which would run first, then be filtered, if the
-        # candidate set were joined after the aggregation)
+        # candidate set were joined after the aggregation).
+        # dropDuplicates first: a duplicated candidate pair would otherwise
+        # multiply the common-shingle count and corrupt the jaccard value
+        candidates = candidates.dropDuplicates(["id_a", "id_b"])
         sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
         sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
         common = (candidates.join(sa, "id_a")

@@ -45,7 +45,13 @@ def cosine_pairs_udf():
         num = np.einsum("ij,ij->i", A, B)
         den = np.sqrt(np.einsum("ij,ij->i", A, A)
                       * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
+        # zero-norm guard: 0/0 would yield NaN, which Spark RANKS ABOVE
+        # every real score and which passes >= threshold filters; -inf
+        # ranks such pairs last and fails every threshold, matching the
+        # old fold path's NULL behavior in effect
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0.0, -np.inf, num / den)
+        return pd.Series(out)
     return _cos
 
 

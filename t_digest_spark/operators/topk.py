@@ -71,7 +71,18 @@ def topk_per_key(df: DataFrame, key_cols: Sequence[str], order_col: str,
                    F.when(F.size("__s") >= k, F.element_at("__s", k))
                    .otherwise(F.lit(float("-inf"))).alias("__thr")))
 
-    cand = (df.join(F.broadcast(thr), key_cols)
+    # NULL-SAFE threshold join: a plain equi-join on the key columns would
+    # silently drop every NULL-key row (NULL != NULL), diverging from the
+    # Window formulation this operator replaces (which ranks the NULL-key
+    # partition like any other)
+    d = df.alias("__d")
+    t = thr.alias("__t")
+    cond = None
+    for kc in key_cols:
+        c = F.col(f"__d.{kc}").eqNullSafe(F.col(f"__t.{kc}"))
+        cond = c if cond is None else (cond & c)
+    cand = (d.join(F.broadcast(t), cond)
+            .select("__d.*", F.col("__t.__thr").alias("__thr"))
             .where(F.col(order_col) >= F.col("__thr")))
 
     row_cols = [order_col] + tiebreak_cols + payload_cols

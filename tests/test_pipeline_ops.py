@@ -435,3 +435,46 @@ def test_topk_per_key_null_order_values(spark):
     got = (topk_per_key(df, ["k"], "v", 2, tiebreak_cols=["id"])
            .orderBy("rnk").collect())
     assert [(r.rnk, r.v) for r in got] == [(1, 5.0), (2, 3.0)]
+
+
+def test_topk_per_key_null_keys_ranked(spark):
+    """NULL key values form their own ranked group (null-safe threshold
+    join), matching the Window.partitionBy semantics."""
+    from t_digest_spark.operators.topk import topk_per_key
+    pdf = pd.DataFrame({"k": ["a", "a", None, None, None],
+                        "id": range(5),
+                        "v": [5.0, 4.0, 9.0, 8.0, 7.0]})
+    df = spark.createDataFrame(pdf)
+    got = (topk_per_key(df, ["k"], "v", 2, tiebreak_cols=["id"])
+           .collect())
+    nulls = sorted([(r.rnk, r.v) for r in got if r.k is None])
+    assert nulls == [(1, 9.0), (2, 8.0)]
+
+
+def test_cosine_udf_zero_norm_ranks_last(spark):
+    from t_digest_spark.operators.similarity import cosine_pairs_udf
+    pdf = pd.DataFrame({
+        "a": [np.ones(4, dtype=np.float32), np.zeros(4, dtype=np.float32)],
+        "b": [np.ones(4, dtype=np.float32), np.ones(4, dtype=np.float32)]})
+    out = spark.createDataFrame(pdf).select(
+        cosine_pairs_udf()("a", "b").alias("c")).collect()
+    assert out[0].c == pytest.approx(1.0)
+    assert out[1].c == float("-inf")        # never NaN, never >= threshold
+
+
+def test_jaccard_duplicate_candidates_not_multiplied(spark):
+    from t_digest_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _docs(spark, ["abcdefgh", "abcdefgh"])
+    dup_cands = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 0], "id_b": [1, 1]}))
+    rows = ngram_jaccard_pairs(docs, n=3, threshold=0.0,
+                               candidates=dup_cands).collect()
+    assert len(rows) == 1 and rows[0].jaccard == pytest.approx(1.0)
+
+
+def test_avl_serde_rejects_fractional_weights():
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest()
+    d.add(1.0, 0.3)
+    with pytest.raises(ValueError, match="integer"):
+        d.to_bytes()
