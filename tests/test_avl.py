@@ -194,3 +194,40 @@ def test_avltree_aggregate_spark(spark):
         sub = pdf[pdf.g == g].x
         assert counts[g]["count"] == 25_000.0
         assert counts[g].dmin == sub.min() and counts[g].dmax == sub.max()
+
+
+def test_avl_single_single_range():
+    """Port of TDigestTest.singleSingleRange for the AVL variant: cdf is a
+    step function between singletons (half-mass at each singleton)."""
+    d = AVLTreeDigest(delta=100.0)
+    for x in (1.0, 2.0, 3.0):
+        d.add(x)
+    assert d.cdf(1.0) == pytest.approx(0.5 / 3.0)
+    assert d.cdf(1.0 + 1e-10) == pytest.approx(1 / 3.0)
+    assert d.cdf(2.0 - 1e-10) == pytest.approx(1 / 3.0)
+    assert d.cdf(2.0) == pytest.approx(1.5 / 3.0)
+    assert d.cdf(2.0 + 1e-10) == pytest.approx(2 / 3.0)
+    assert d.cdf(3.0 - 1e-10) == pytest.approx(2 / 3.0)
+    assert d.cdf(3.0) == pytest.approx(2.5 / 3.0)
+    assert d.cdf(3.0 + 1e-10) == 1.0
+
+
+def test_avl_repeated_values_port():
+    """AVLTreeDigestTest.testRepeatedValues behavior: two repeated values,
+    quantiles land on (or between) the two points, never outside."""
+    rng = np.random.default_rng(3)
+    vals = np.where(rng.uniform(size=20_000) < 0.5, 9000.0, 9000.01)
+    d = AVLTreeDigest.from_values(vals, delta=100.0)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert 9000.0 <= d.quantile(q) <= 9000.01, q
+
+
+def test_avl_singleton_in_a_crowd_port():
+    """TDigestTest.testSingletonInACrowd: one far-away sample among 10k
+    equals; max is preserved and q=1 returns it exactly."""
+    d = AVLTreeDigest(delta=100.0)
+    d.add_values(np.full(10_000, 10.0))
+    d.add(20.0)
+    assert d.max == 20.0
+    assert d.quantile(1.0) == 20.0
+    assert abs(d.quantile(0.5) - 10.0) < 1e-9
