@@ -1,14 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-queries() entries fall in two classes:
-  * oracle-checked — deterministic outputs (exact aggregates, order
-    statistics from all-singleton digests, integer/string math) with a
-    DuckDB oracle in oracle_sql().
-  * rows-only — sketch *estimates* (t-digest quantiles/cdf/trimmed-mean at
-    realistic compression) and hash-seeded approximate operators
-    (minhash/simhash/LSH); their accuracy contracts are enforced in
-    tests/ (pytest) against exact oracles with the reference's tolerances
-    instead of SQL equality.
+EVERY queries() entry has a DuckDB oracle in oracle_sql(), in one of two
+shapes:
+  * value-exact — deterministic outputs (exact aggregates, order
+    statistics from all-singleton digests, integer/string math) compare
+    value-for-value against the SQL oracle.
+  * bound-contract — sketch *estimates* (digest/KLL/REQ/CM/HLL quantiles
+    and counts, LSH/IVF candidates) compute their exact counterpart in
+    the SAME Spark job (broadcast the tiny estimate rows back over the
+    data; exact mid-ranks / distinct counts / two-sample KS JVM-side) and
+    emit within-bound booleans plus exact columns; the oracle reproduces
+    the exact columns and constant-true booleans, so any estimate leaving
+    its published envelope flips the driver's hash gate red. Planted
+    exact-duplicate recall contracts (minhash/simhash/LSH/IVF/fingerprint)
+    are probability-1 collisions, not tuned thresholds.
+Statistical accuracy at finer tolerances is additionally enforced in
+tests/ (pytest) against exact oracles with the reference's bounds.
 """
 
 from __future__ import annotations
@@ -867,7 +874,7 @@ def q_streaming_digest_events(spark, sf_dir):
     """Structured Streaming surface in the driver contract: file-source stream
     over the events table (one file per trigger), stateful per-type digest via
     applyInPandasWithState, final state queried after processAllAvailable.
-    Counts are exact; quantiles are sketch estimates -> rows-only."""
+    Counts are exact; quantile estimates carry mid-rank bound booleans."""
     import tempfile
     from pyspark.sql.window import Window
     from t_digest_spark.streaming import tdigest_stream_aggregate
@@ -1031,7 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
-        # rows-only (sketch estimates / seeded approximations)
+        # sketch queries with bound contracts (estimate + in-job exact)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "avl_price_quantiles": q_avl_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
