@@ -95,12 +95,20 @@ def main():
     except Exception as e:
         print(f"bench: warmup failed: {e}", file=sys.stderr)
 
+    # min of N trials per query (default 2): single-shot timings in this
+    # sandbox carry first-run codegen compilation plus hypervisor steal of
+    # up to ~2x; the min is the steady-state estimator (BENCH.md protocol).
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(max(trials, 1)):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as e:  # a broken query shouldn't zero the whole bench
             print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
             timings[name] = None
