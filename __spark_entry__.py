@@ -219,6 +219,21 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("nt").cast("long").alias("total_tokens")))
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction (training-data pipelines carry JSON
+    sidecar columns): get_json_object stays in whole-stage codegen —
+    extraction + aggregation in one JVM pass, value-exact vs the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k"),
+                 F.countDistinct("k").alias("n_distinct_k")))
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Marker-lexicon language id vs the labeled lang column."""
     docs = _t(spark, sf_dir, "documents")
@@ -1028,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "quality_by_lang": q_quality_by_lang,
+        "json_props_stats": q_json_props_stats,
         "lang_id_confusion": q_lang_id_confusion,
         "similarity_topk": q_similarity_topk,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1194,6 +1210,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "json_props_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+                   cast(min(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS min_k,
+                   cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k,
+                   count(DISTINCT cast(json_extract_string(props, '$.k') as bigint)) AS n_distinct_k
+            FROM events GROUP BY event_type
         """,
         "lang_id_confusion": f"""
             WITH scored AS (
