@@ -219,6 +219,22 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("nt").cast("long").alias("total_tokens")))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (event analytics / training-data
+    curriculum): Spark's native session_window aggregation — a session
+    extends while consecutive events arrive within the 1-hour gap. The
+    oracle reproduces the same semantics with lag() + cumulative new-session
+    markers; per-session event counts aggregate to value-exact stats."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (ev.groupBy("user_id", F.session_window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return sess.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+        F.max("n_events").cast("long").alias("max_session_events"))
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction (training-data pipelines carry JSON
     sidecar columns): get_json_object stays in whole-stage codegen —
@@ -1043,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "quality_by_lang": q_quality_by_lang,
+        "user_sessions": q_user_sessions,
         "json_props_stats": q_json_props_stats,
         "lang_id_confusion": q_lang_id_confusion,
         "similarity_topk": q_similarity_topk,
@@ -1210,6 +1227,31 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "user_sessions": """
+            WITH marks AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts) AS session_id
+                FROM marks
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_sessions,
+                   cast(sum(n_events) as bigint) AS n_events_total,
+                   cast(max(n_events) as bigint) AS max_session_events
+            FROM per_session
         """,
         "json_props_stats": """
             SELECT event_type, count(*) AS n_events,
