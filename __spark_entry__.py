@@ -219,6 +219,25 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("nt").cast("long").alias("total_tokens")))
 
 
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join (point-in-time lookup): every click event joins the
+    user's most recent purchase at or before the click. DuckDB's native
+    ASOF JOIN is the oracle — semantics must match row for row."""
+    from t_digest_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id"), F.col("value"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    j = asof_join(clicks, purchases, ["user_id"], "ts", ["purchase_value"])
+    return (j.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("asof_purchase_value").isNotNull().cast("long"))
+        .cast("long").alias("n_matched"),
+        F.sum(F.coalesce("asof_purchase_value", F.lit(0.0))
+              .cast("decimal(18,6)")).cast("double").alias("sum_matched_value")))
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (event analytics / training-data
     curriculum): Spark's native session_window aggregation — a session
@@ -1059,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "quality_by_lang": q_quality_by_lang,
+        "asof_click_purchase": q_asof_click_purchase,
         "user_sessions": q_user_sessions,
         "json_props_stats": q_json_props_stats,
         "lang_id_confusion": q_lang_id_confusion,
@@ -1227,6 +1247,27 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "asof_click_purchase": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, ts, value AS purchase_value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            j AS (
+                SELECT c.user_id, c.ts, p.purchase_value
+                FROM clicks c
+                ASOF LEFT JOIN purchases p
+                  ON c.user_id = p.user_id AND c.ts >= p.ts
+            )
+            SELECT count(*) AS n_clicks,
+                   cast(count(purchase_value) as bigint) AS n_matched,
+                   cast(sum(cast(coalesce(purchase_value, 0.0) as decimal(18,6)))
+                        as double) AS sum_matched_value
+            FROM j
         """,
         "user_sessions": """
             WITH marks AS (

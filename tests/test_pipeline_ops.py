@@ -478,3 +478,27 @@ def test_avl_serde_rejects_fractional_weights():
     d.add(1.0, 0.3)
     with pytest.raises(ValueError, match="integer"):
         d.to_bytes()
+
+
+def test_asof_join_matches_python_oracle(spark):
+    """asof_join == a per-key Python point-in-time lookup, including the
+    >= tie convention and the no-prior-row NULL case."""
+    from t_digest_spark.operators.temporal import asof_join
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    left = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "c"],
+        "ts": [base + dt.timedelta(minutes=m) for m in (0, 10, 20, 5, 1)],
+        "lv": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    right = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "ts": [base + dt.timedelta(minutes=m) for m in (5, 20, 5, 30)],
+        "rv": [10.0, 20.0, 30.0, 40.0]})
+    out = asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                    ["k"], "ts", ["rv"]).collect()
+    got = {(r.k, r.lv): r.asof_rv for r in out}
+    assert got[("a", 1.0)] is None          # no prior right row
+    assert got[("a", 2.0)] == 10.0          # ts=10 -> right at 5
+    assert got[("a", 3.0)] == 20.0          # tie at ts=20 matches (>=)
+    assert got[("b", 4.0)] == 30.0          # tie at ts=5 matches
+    assert got[("c", 5.0)] is None          # key with no right rows
