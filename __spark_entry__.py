@@ -219,6 +219,26 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("nt").cast("long").alias("total_tokens")))
 
 
+def q_range_join_price_bands(spark, sf_dir):
+    """Range join: orders bucketed into OVERLAPPING price bands via the
+    bin-bucketed equi-join (operators/rangejoin.py) — value-exact against
+    the plain SQL BETWEEN join. Overlapping bands mean some orders match
+    several intervals, exercising the multi-match semantics."""
+    from t_digest_spark.operators.rangejoin import range_join
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("band_id"),
+        (F.col("id") * 15_000.0).alias("lo"),
+        (F.col("id") * 15_000.0 + 22_500.0).alias("hi"))
+    j = range_join(orders, "o_totalprice", bands, "lo", "hi",
+                   bin_width=15_000.0)
+    return (j.groupBy("band_id")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("band_revenue"))
+            .where(F.col("n_orders") > 0))
+
+
 def q_asof_click_purchase(spark, sf_dir):
     """As-of join (point-in-time lookup): every click event joins the
     user's most recent purchase at or before the click. DuckDB's native
@@ -1078,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "quality_by_lang": q_quality_by_lang,
+        "range_join_price_bands": q_range_join_price_bands,
         "asof_click_purchase": q_asof_click_purchase,
         "user_sessions": q_user_sessions,
         "json_props_stats": q_json_props_stats,
@@ -1247,6 +1268,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "range_join_price_bands": """
+            WITH bands AS (
+                SELECT range AS band_id,
+                       range * 15000.0 AS lo,
+                       range * 15000.0 + 22500.0 AS hi
+                FROM range(0, 40)
+            )
+            SELECT band_id, count(*) AS n_orders,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                       AS band_revenue
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id
         """,
         "asof_click_purchase": """
             WITH clicks AS (

@@ -502,3 +502,22 @@ def test_asof_join_matches_python_oracle(spark):
     assert got[("a", 3.0)] == 20.0          # tie at ts=20 matches (>=)
     assert got[("b", 4.0)] == 30.0          # tie at ts=5 matches
     assert got[("c", 5.0)] is None          # key with no right rows
+
+
+def test_range_join_matches_nested_loop(spark):
+    """Bin-bucketed range join == the nested-loop BETWEEN join, including
+    intervals spanning many bins and values on bin edges."""
+    from t_digest_spark.operators.rangejoin import range_join
+    rng = np.random.default_rng(77)
+    left = spark.createDataFrame(pd.DataFrame({
+        "i": range(500), "v": rng.uniform(0, 100, 500)}))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "iid": range(20),
+        "lo": rng.uniform(0, 90, 20),
+        "hi": 0.0})).withColumn("hi", F.col("lo") + (F.col("iid") + 1) * 3.0)
+    got = {(r.i, r.iid) for r in
+           range_join(left, "v", iv, "lo", "hi", bin_width=5.0).collect()}
+    want = {(r.i, r.iid) for r in
+            left.crossJoin(iv).where((F.col("v") >= F.col("lo"))
+                                     & (F.col("v") < F.col("hi"))).collect()}
+    assert got == want and len(want) > 0
