@@ -219,6 +219,31 @@ def q_quality_by_lang(spark, sf_dir):
                  F.sum("nt").cast("long").alias("total_tokens")))
 
 
+def q_time_rollup_digests(spark, sf_dir):
+    """Hypertable-style continuous aggregate: leaf digests per
+    (day, event_type) roll up to per-day digests by MERGING DIGEST ROWS
+    (tdigest_merge) — the raw events are scanned once for the leaves and
+    never again, the pattern a time-series warehouse uses to serve any
+    coarser time bucket from materialized fine buckets. Day counts exact;
+    rolled-up p50 inside the digest envelope."""
+    from t_digest_spark.operators.aggregation import tdigest_merge
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type", "value")
+    leaf = tdigest_aggregate(ev, "value", ["day", "event_type"])
+    daily = tdigest_merge(leaf, ["day"])
+    est = _materialize_small(spark, daily.select(
+        "day", F.col("count").cast("long").alias("n_events"),
+        quantile_udf(0.5)(*_D).alias("e50")))
+    x = F.col("value")
+    n = F.count(F.lit(1))
+    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n)
+    return (ev.join(F.broadcast(est), "day")
+            .groupBy("day")
+            .agg(F.first("n_events").alias("n_events"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok")))
+
+
 def q_range_join_price_bands(spark, sf_dir):
     """Range join: orders bucketed into OVERLAPPING price bands via the
     bin-bucketed equi-join (operators/rangejoin.py) — value-exact against
@@ -1098,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "token_counts_by_lang": q_token_counts_by_lang,
         "quality_by_lang": q_quality_by_lang,
+        "time_rollup_digests": q_time_rollup_digests,
         "range_join_price_bands": q_range_join_price_bands,
         "asof_click_purchase": q_asof_click_purchase,
         "user_sessions": q_user_sessions,
@@ -1268,6 +1294,11 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "time_rollup_digests": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events, true AS p50_ok
+            FROM events GROUP BY 1
         """,
         "range_join_price_bands": """
             WITH bands AS (
