@@ -427,3 +427,18 @@ def test_count_before_flush_unit_and_weighted():
     assert d.count == 8.0
     d.compress()
     assert d.count == 8.0
+
+
+def test_sorted_input_port():
+    """TDigestTest.testSorted: a digest built from pre-sorted input keeps
+    ordered centroids and sane quantiles (sorted ingestion is the worst
+    case for naive clustering schemes)."""
+    vals = np.sort(np.random.default_rng(51).uniform(0, 1000, 100_000))
+    d = TDigest.from_values(vals)
+    means = d.means
+    assert (np.diff(means) >= 0).all()
+    assert d.min == vals[0] and d.max == vals[-1]
+    for q in (0.01, 0.5, 0.99):
+        rank = np.searchsorted(vals, d.quantile(q)) / len(vals)
+        assert abs(rank - q) < 0.01, q
+    d.check_weights()
