@@ -143,8 +143,9 @@ def main():
         "meets_north_rule_0.8": eff >= 0.8,
     }
     print(json.dumps(report))
+    out_name = os.environ.get("SCALING_REPORT", "scaling_report.json")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "scaling_report.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(report, f, indent=2)
     return report
 
