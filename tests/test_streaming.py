@@ -342,3 +342,63 @@ def test_histogram_stream_matches_batch(spark):
         assert last.overflow == batch.overflow
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_histogram_stream_expiry(spark):
+    """Histogram accumulator honors the same windowed lifecycle as the
+    digest/KLL accumulators: expired windows drop state and late rows
+    cannot resurrect them."""
+    import datetime as dt
+    from t_digest_spark.operators.histogram import HistogramSpec
+    from t_digest_spark.streaming import (histogram_stream_aggregate,
+                                          with_event_window)
+
+    base = dt.datetime(2026, 5, 1, 0, 0, 0)
+    early = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=m) for m in (0, 0, 1, 1)] * 250,
+        "g": ["a"] * 1000,
+        "x": np.random.default_rng(71).uniform(0, 50, 1000),
+    })
+    ahead = pd.DataFrame({
+        "ts": [base + dt.timedelta(minutes=60)] * 200,
+        "g": ["a"] * 200,
+        "x": np.random.default_rng(72).uniform(0, 50, 200),
+    })
+    late = pd.DataFrame({
+        "ts": [base + dt.timedelta(seconds=30)] * 100,
+        "g": ["a"] * 100,
+        "x": np.random.default_rng(73).uniform(60, 90, 100),  # overflow range
+    })
+    spec = HistogramSpec(0.0, 50.0, n_bins=10, kind="linear")
+    work = tempfile.mkdtemp(prefix="hist_wm_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    try:
+        stream = (spark.readStream
+                  .schema("ts timestamp, g string, x double")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        windowed = with_event_window(stream, "ts", "2 minutes",
+                                     watermark="5 minutes")
+        h = histogram_stream_aggregate(windowed, "x", ["win", "g"], spec,
+                                       window_col="win")
+        q = (h.writeStream.format("memory").queryName("hist_wm")
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ck")).start())
+        try:
+            _write_batch(spark, in_dir, early, "b1")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, ahead, "b2")
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, late, "b3")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql("select * from hist_wm").collect()
+        latest = {}
+        for r in rows:
+            latest[r.win.start] = r
+        first = latest[base]
+        assert first.total == 1000          # late overflow batch NOT folded
+        assert first.overflow == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
