@@ -1,0 +1,241 @@
+import com.tdunning.math.stats.AVLTreeDigest;
+import com.tdunning.math.stats.Centroid;
+import com.tdunning.math.stats.MergingDigest;
+import com.tdunning.math.stats.TDigest;
+import com.tdunning.math.stats.datasketches.kll.KllDoublesSketch;
+import com.tdunning.math.stats.datasketches.req.ReqSketch;
+import com.tdunning.math.stats.datasketches.req.ReqSketchBuilder;
+import org.apache.datasketches.memory.Memory;
+
+import java.io.IOException;
+import java.nio.ByteBuffer;
+import java.nio.ByteOrder;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import java.util.Locale;
+
+/**
+ * Cross-validation harness: drives the reference t-digest implementation
+ * (compiled in place from /root/reference, never copied) so the Python port's
+ * wire codecs and query behavior can be checked against the real thing.
+ *
+ * Commands (all file paths; doubles files are raw little-endian float64):
+ *   merging-build <compression> <in.doubles> <out.bin> <out_small.bin> <out.json> [cdf.doubles]
+ *   merging-read  <in.bin> <out.json> [cdf.doubles]
+ *   avl-build     <compression> <in.doubles> <out.bin> <out_small.bin> <out.json> [cdf.doubles]
+ *   avl-read      <in.bin> <out.json> [cdf.doubles]
+ *   kll-build     <k> <in.doubles> <out.bin> <out.json>
+ *   kll-read      <in.bin> <out.json>
+ *   kll-roundtrip <in.bin> <out.bin>           (heapify then re-serialize)
+ *   req-build     <k> <hra:0|1> <in.doubles> <out.bin> <out.json>
+ *   req-read      <in.bin> <out.json>
+ *   req-roundtrip <in.bin> <out.bin>
+ */
+public final class Harness {
+    private static final double[] Q_GRID = {
+        0.0001, 0.001, 0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 0.9999
+    };
+
+    public static void main(String[] args) throws Exception {
+        switch (args[0]) {
+            case "merging-build": {
+                MergingDigest d = new MergingDigest(Double.parseDouble(args[1]));
+                for (double v : readDoubles(args[2])) {
+                    d.add(v);
+                }
+                d.compress();
+                ByteBuffer buf = ByteBuffer.allocate(d.byteSize());
+                d.asBytes(buf);
+                Files.write(Paths.get(args[3]), sliceToArray(buf));
+                ByteBuffer sbuf = ByteBuffer.allocate(d.smallByteSize());
+                d.asSmallBytes(sbuf);
+                Files.write(Paths.get(args[4]), sliceToArray(sbuf));
+                writeSummary(d, args[5], args.length > 6 ? args[6] : null);
+                break;
+            }
+            case "merging-read": {
+                MergingDigest d = MergingDigest.fromBytes(
+                        ByteBuffer.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                writeSummary(d, args[2], args.length > 3 ? args[3] : null);
+                break;
+            }
+            case "avl-build": {
+                AVLTreeDigest d = new AVLTreeDigest(Double.parseDouble(args[1]));
+                for (double v : readDoubles(args[2])) {
+                    d.add(v);
+                }
+                d.compress();
+                ByteBuffer buf = ByteBuffer.allocate(d.byteSize());
+                d.asBytes(buf);
+                Files.write(Paths.get(args[3]), sliceToArray(buf));
+                ByteBuffer sbuf = ByteBuffer.allocate(d.smallByteSize());
+                d.asSmallBytes(sbuf);
+                Files.write(Paths.get(args[4]), sliceToArray(sbuf));
+                writeSummary(d, args[5], args.length > 6 ? args[6] : null);
+                break;
+            }
+            case "avl-read": {
+                AVLTreeDigest d = AVLTreeDigest.fromBytes(
+                        ByteBuffer.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                writeSummary(d, args[2], args.length > 3 ? args[3] : null);
+                break;
+            }
+            case "kll-build": {
+                KllDoublesSketch sk = new KllDoublesSketch(Integer.parseInt(args[1]));
+                for (double v : readDoubles(args[2])) {
+                    sk.update(v);
+                }
+                Files.write(Paths.get(args[3]), sk.toByteArray());
+                writeKllSummary(sk, args[4]);
+                break;
+            }
+            case "kll-read": {
+                KllDoublesSketch sk = KllDoublesSketch.heapify(
+                        Memory.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                writeKllSummary(sk, args[2]);
+                break;
+            }
+            case "kll-roundtrip": {
+                KllDoublesSketch sk = KllDoublesSketch.heapify(
+                        Memory.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                Files.write(Paths.get(args[2]), sk.toByteArray());
+                break;
+            }
+            case "req-build": {
+                ReqSketchBuilder b = ReqSketch.builder()
+                        .setK(Integer.parseInt(args[1]))
+                        .setHighRankAccuracy("1".equals(args[2]));
+                ReqSketch sk = b.build();
+                for (double v : readDoubles(args[3])) {
+                    sk.update(v);
+                }
+                Files.write(Paths.get(args[4]), sk.toByteArray());
+                writeReqSummary(sk, args[5]);
+                break;
+            }
+            case "req-read": {
+                ReqSketch sk = ReqSketch.heapify(
+                        Memory.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                writeReqSummary(sk, args[2]);
+                break;
+            }
+            case "req-roundtrip": {
+                ReqSketch sk = ReqSketch.heapify(
+                        Memory.wrap(Files.readAllBytes(Paths.get(args[1]))));
+                Files.write(Paths.get(args[2]), sk.toByteArray());
+                break;
+            }
+            default:
+                throw new IllegalArgumentException("unknown command: " + args[0]);
+        }
+    }
+
+    private static double[] readDoubles(String path) throws IOException {
+        byte[] raw = Files.readAllBytes(Paths.get(path));
+        ByteBuffer bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN);
+        double[] out = new double[raw.length / 8];
+        for (int i = 0; i < out.length; i++) {
+            out[i] = bb.getDouble();
+        }
+        return out;
+    }
+
+    private static byte[] sliceToArray(ByteBuffer buf) {
+        byte[] out = new byte[buf.position()];
+        buf.flip();
+        buf.get(out);
+        return out;
+    }
+
+    private static void writeSummary(TDigest d, String outPath, String cdfPath)
+            throws IOException {
+        StringBuilder sb = new StringBuilder();
+        sb.append("{\"count\":").append(fmt(d.size()));
+        sb.append(",\"min\":").append(fmt(d.getMin()));
+        sb.append(",\"max\":").append(fmt(d.getMax()));
+        sb.append(",\"compression\":").append(fmt(d.compression()));
+        sb.append(",\"centroid_count\":").append(d.centroidCount());
+        sb.append(",\"quantiles\":{");
+        boolean first = true;
+        for (double q : Q_GRID) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('"').append(q).append("\":").append(fmt(d.quantile(q)));
+        }
+        sb.append("},\"cdf\":{");
+        first = true;
+        if (cdfPath != null) {
+            for (double x : readDoubles(cdfPath)) {
+                if (!first) {
+                    sb.append(',');
+                }
+                first = false;
+                sb.append('"').append(x).append("\":").append(fmt(d.cdf(x)));
+            }
+        }
+        sb.append("},\"centroids\":[");
+        first = true;
+        for (Centroid c : d.centroids()) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('[').append(fmt(c.mean())).append(',').append(fmt(c.count())).append(']');
+        }
+        sb.append("]}");
+        Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));
+    }
+
+    private static void writeKllSummary(KllDoublesSketch sk, String outPath) throws IOException {
+        StringBuilder sb = new StringBuilder();
+        sb.append("{\"n\":").append(sk.getN());
+        sb.append(",\"k\":").append(sk.getK());
+        sb.append(",\"num_retained\":").append(sk.getNumRetained());
+        sb.append(",\"min\":").append(fmt(sk.getMinValue()));
+        sb.append(",\"max\":").append(fmt(sk.getMaxValue()));
+        sb.append(",\"quantiles\":{");
+        boolean first = true;
+        for (double q : Q_GRID) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('"').append(q).append("\":").append(fmt(sk.getQuantile(q)));
+        }
+        sb.append("}}");
+        Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));
+    }
+
+    private static void writeReqSummary(ReqSketch sk, String outPath) throws IOException {
+        StringBuilder sb = new StringBuilder();
+        sb.append("{\"n\":").append(sk.getN());
+        sb.append(",\"k\":").append(sk.getK());
+        sb.append(",\"num_retained\":").append(sk.getRetainedItems());
+        sb.append(",\"min\":").append(fmt(sk.getMinValue()));
+        sb.append(",\"max\":").append(fmt(sk.getMaxValue()));
+        sb.append(",\"hra\":").append(sk.getHighRankAccuracy());
+        sb.append(",\"quantiles\":{");
+        boolean first = true;
+        for (double q : Q_GRID) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('"').append(q).append("\":").append(fmt(sk.getQuantile(q)));
+        }
+        sb.append("}}");
+        Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));
+    }
+
+    private static String fmt(double v) {
+        if (Double.isNaN(v)) {
+            return "\"nan\"";
+        }
+        if (Double.isInfinite(v)) {
+            return v > 0 ? "\"inf\"" : "\"-inf\"";
+        }
+        return String.format(Locale.ROOT, "%.17g", v);
+    }
+}

@@ -37,12 +37,27 @@ DEFAULT_M = 8     # KllDoublesSketch.java:179
 _GROWTH = 2.0 / 3.0
 
 
+_POW3 = [3 ** i for i in range(31)]
+
+
+def _cap_aux(k: int, depth: int) -> int:
+    """Round-to-nearest k*(2/3)^depth in exact integer arithmetic
+    (KllHelper.java:110-137, incl. the >30-depth folding)."""
+    if depth <= 30:
+        return ((2 * k << depth) // _POW3[depth] + 1) >> 1
+    half = depth // 2
+    rest = depth - half
+    tmp = ((2 * k << half) // _POW3[half] + 1) >> 1
+    return ((2 * tmp << rest) // _POW3[rest] + 1) >> 1
+
+
 def _level_capacity(k: int, m: int, depth: int, height: int) -> int:
     """Capacity of the level `height` levels below the top when there are
-    `depth` levels: k * (2/3)^(depth-1-height), floored at m."""
+    `depth` levels: round-to-nearest k * (2/3)^(depth-1-height), floored at m
+    (exact Java-parity formula, KllHelper.java:93-98; verified against the
+    compiled reference via java_parity harness)."""
     below_top = depth - 1 - height
-    cap = int(math.ceil(k * (_GROWTH ** below_top)))
-    return max(cap, m)
+    return max(_cap_aux(k, below_top), m)
 
 
 class KllSketch:
@@ -195,10 +210,17 @@ class KllSketch:
             return self.min
         if q == 1.0:
             return self.max
+        # Exact KllDoublesQuantileCalculator convention
+        # (QuantilesHelper.java:50-74): zero-based position floor(q*n) clamped
+        # to n-1, then the item whose preceding-cumulative-weight chunk
+        # contains that position. Verified bit-compatible with the compiled
+        # reference via the java_parity harness.
         it, w = self._weighted()
         cum = np.cumsum(w)
-        target = q * self.n
-        idx = int(np.searchsorted(cum, target, side="left"))
+        pos = int(math.floor(q * self.n))
+        if pos >= self.n:
+            pos = self.n - 1
+        idx = int(np.searchsorted(cum, pos, side="right"))
         idx = min(idx, it.size - 1)
         return float(it[idx])
 

@@ -230,17 +230,23 @@ class ReqSketch:
     cdf = rank
 
     def quantile(self, q: float) -> float:
+        """Exact ReqAuxiliary.getQuantile(normRank, ltEq=false) convention
+        (ReqAuxiliary.java:142-161, ReqSketch.java:85): sorted items with
+        tie-collapsed cumulative weights, truncated rank = int(q*n), return
+        the first item whose cumulative weight exceeds the rank. Verified
+        bit-compatible with the compiled reference via the java_parity
+        harness."""
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"q must be in [0,1], got {q}")
         if self.n == 0:
             return float("nan")
-        if q == 0.0:
-            return self.min
-        if q == 1.0:
-            return self.max
         it, w = self._weighted()
         cum = np.cumsum(w)
-        idx = int(np.searchsorted(cum, q * self.n, side="left"))
+        keep = np.ones(it.size, dtype=bool)
+        keep[:-1] = it[:-1] != it[1:]      # dedup: keep last of each tie run
+        it, cum = it[keep], cum[keep]
+        rank = int(q * self.n)
+        idx = int(np.searchsorted(cum, rank, side="right"))
         return float(it[min(idx, it.size - 1)])
 
     @property
