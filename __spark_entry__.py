@@ -1041,15 +1041,26 @@ def q_streaming_windowed_digest(spark, sf_dir):
     in_dir = os.path.join(tempfile.gettempdir(),
                           "tdigest_winstream_" + _stage_key(sf_dir))
     if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
-        pdf = ev.orderBy("ts").toPandas()
-        # micro-precision timestamps: pandas defaults to ns, which parquet
-        # stores as plain INT64 that Spark's timestamp reader rejects
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        # Stage the time-ordered chunks SPARK-side: range-partition on ts
+        # into 4 contiguous time slices, sorted within each, in one
+        # distributed write (no driver-side data materialization — at 100x
+        # scale this is more range partitions, same plan). FileStreamSource
+        # replays files in modification-time order, so the rename pass below
+        # touches file METADATA only, stamping range-order mtimes.
+        import glob
+        import shutil
+        import time
+        slice_dir = in_dir + "_slices"
+        (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(slice_dir))
         os.makedirs(in_dir, exist_ok=True)
-        qsize = (len(pdf) + 3) // 4
-        for i in range(4):     # sequential writes -> ordered file mod times
-            pdf.iloc[i * qsize:(i + 1) * qsize].to_parquet(
-                os.path.join(in_dir, f"chunk{i}.parquet"), index=False)
+        parts = sorted(glob.glob(os.path.join(slice_dir, "part-*")))
+        now = time.time()
+        for i, p in enumerate(parts):   # part numbers = ts-range order
+            dst = os.path.join(in_dir, f"chunk{i}.parquet")
+            shutil.move(p, dst)
+            os.utime(dst, (now + i, now + i))
+        shutil.rmtree(slice_dir, ignore_errors=True)
         open(os.path.join(in_dir, "_SUCCESS"), "w").close()
     stream = (spark.readStream.schema("ts timestamp, event_type string, value double")
               .option("maxFilesPerTrigger", "1").parquet(in_dir))
@@ -1427,12 +1438,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "kll_exact_orders": """
+            -- exact-regime KLL quantile = the item at 0-based position
+            -- floor(q*n) (QuantilesHelper.posOfPhi, Java-parity convention
+            -- verified in tests/test_java_parity.py); DuckDB lists are
+            -- 1-based, hence the +1
             SELECT o_orderpriority,
-                   srt[cast(ceiling(0.25 * n) as int)] AS p25,
-                   srt[cast(ceiling(0.50 * n) as int)] AS p50,
-                   srt[cast(ceiling(0.75 * n) as int)] AS p75
+                   srt[least(cast(floor(0.25 * n) as int) + 1, n)] AS p25,
+                   srt[least(cast(floor(0.50 * n) as int) + 1, n)] AS p50,
+                   srt[least(cast(floor(0.75 * n) as int) + 1, n)] AS p75
             FROM (SELECT o_orderpriority, list_sort(list(o_totalprice)) AS srt,
-                         count(*) AS n
+                         cast(count(*) as int) AS n
                   FROM orders GROUP BY o_orderpriority)
         """,
         "bloom_orders_custkeys": """

@@ -137,6 +137,29 @@ def main():
     except Exception:
         kernel_pts_per_sec = None
 
+    # Same-definition comparison vs the previous round's recorded bench
+    # (VERDICT r2 #8): the full-suite total moves when queries are added or
+    # their contracts deepen, so also report the subtotal over the query
+    # names common to the latest BENCH_r*.json.
+    comparable = None
+    try:
+        import glob
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if benches:
+            with open(benches[-1]) as f:
+                prev_q = (json.load(f).get("parsed") or {}).get("queries") or {}
+            common = [k for k in timings
+                      if timings.get(k) is not None and prev_q.get(k) is not None]
+            comparable = {
+                "vs": os.path.basename(benches[-1]),
+                "n_common": len(common),
+                "subtotal_now_sec": round(sum(timings[k] for k in common), 3),
+                "subtotal_prev_sec": round(sum(prev_q[k] for k in common), 3),
+            }
+    except Exception as e:
+        print(f"bench: comparable_to_prev failed: {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "total_query_wall_sec",
@@ -149,6 +172,7 @@ def main():
         "flagship_digest_rows_per_sec": round(flagship["throughput_rows_per_sec"], 1),
         "flagship_wall_sec": flagship["wall_sec"] and round(flagship["wall_sec"], 3),
         "rank_error": flagship["rank_error"],
+        "comparable_to_prev": comparable,
         "n_failed": sum(1 for v in timings.values() if v is None),
     }))
     spark.stop()

@@ -137,3 +137,57 @@ def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
     spark.udf.register("avltree_quantile", avltree_quantile)
     spark.udf.register("kll_quantile", kll_quantile)
+
+
+def register_sql_aggregate(spark, delta: float = 100.0, scale: str = "k2",
+                           chunk: int = 65536):
+    """Let pure-SQL users BUILD digests (VERDICT r2 #5), not just query them:
+
+        SELECT key, tdigest_quantile(means, weights, dmin, dmax, 0.5) AS p50
+        FROM tdigest_build(
+            TABLE(SELECT l_returnflag AS key, l_extendedprice AS x FROM li)
+            PARTITION BY key)
+
+    Contract: the input table exposes ``key string`` (group, may be a packed
+    multi-key) and ``x double``; one digest row per partition comes back.
+    Spark runs one UDTF instance per PARTITION BY group, so this IS a
+    distributed aggregate — but rows cross the Python boundary one at a
+    time, so it is the SQL *convenience* surface; the scale path remains
+    ``tdigest_aggregate`` (mapInPandas partials + applyInPandas merge, no
+    raw-row shuffle). Values fold into the digest every ``chunk`` rows, so
+    per-group memory stays O(chunk + centroids), not O(rows).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, means array<double>, weights array<double>, "
+                     "dmin double, dmax double, count double")
+    class TDigestBuildUDTF:
+        def __init__(self):
+            from t_digest_spark.core import TDigest
+            self._digest = TDigest(delta=delta, scale=scale)
+            self._buf = []
+            self._key = None
+
+        def eval(self, row):
+            if row.key is not None:
+                self._key = row.key
+            x = row.x
+            if x is not None:
+                self._buf.append(float(x))
+                if len(self._buf) >= chunk:
+                    self._digest.add_values(np.asarray(self._buf))
+                    self._buf.clear()
+
+        def terminate(self):
+            if self._buf:
+                self._digest.add_values(np.asarray(self._buf))
+                self._buf.clear()
+            d = self._digest
+            if d.count == 0:
+                return
+            d.compress()
+            yield (self._key, [float(v) for v in d.means],
+                   [float(v) for v in d.weights],
+                   float(d.min), float(d.max), float(d.count))
+
+    spark.udtf.register("tdigest_build", TDigestBuildUDTF)

@@ -70,18 +70,27 @@ def _topn_cells_udf(centroids: np.ndarray, nprobe: int):
 
 def ivf_train(df: DataFrame, k: int, dim: int, vec_col: str = "embedding",
               id_col: str = "vec_id", iters: int = 2,
-              sample_mod: Optional[int] = None) -> np.ndarray:
+              sample_mod: Optional[int] = None,
+              train_target: int = 65536) -> np.ndarray:
     """Train the coarse quantizer; returns the (k, dim) centroid matrix.
 
     Seeds = the k corpus vectors with the smallest xxhash64(id) (a
     deterministic uniform sample — an orderBy+limit over ids only, the
     vectors rejoin at k-row scale). Each Lloyd iteration is one assignment
     pass + one groupBy-mean; empty cells keep their previous centroid.
+
+    ``sample_mod=None`` (default) auto-sizes a deterministic hash sample so
+    Lloyd touches ~``train_target`` vectors regardless of corpus size —
+    full-corpus k-means at 100x scale would dominate the whole pipeline for
+    no recall gain. Pass ``sample_mod=1`` to force full-corpus training.
     """
     base = df.select(F.col(id_col).alias("__id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
                      .alias("__v"))
-    if sample_mod:
+    if sample_mod is None:
+        n = df.count()          # one cheap metadata-ish job, same as lsh_topk
+        sample_mod = max(1, n // max(train_target, 16 * k))
+    if sample_mod > 1:
         base = base.where(F.pmod(F.xxhash64("__id"), sample_mod) == 0)
     seed_ids = (base.select("__id", F.xxhash64("__id").alias("__h"))
                 .orderBy("__h").limit(k).select("__id"))
@@ -123,23 +132,32 @@ def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
     ``df``): candidates are corpus rows in the query's nprobe nearest
     cells, re-ranked by exact vectorized cosine. Candidate volume is
     observable (``n_candidate_pairs``) — no silent caps."""
+    # Candidate id-pairs stay NARROW through the cell join (same pattern as
+    # lsh_topk, similarity.py) — shipping both vectors through the
+    # pair-scale shuffle would move 2*dim doubles per candidate. Vectors
+    # rejoin at corpus-row scale after the join. No dedupe needed: each
+    # corpus row lives in exactly one cell, so a (query, corpus) pair can
+    # appear at most once across the nprobe probes.
     corpus = ivf_index(df, centroids, vec_col).select(
-        F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
-        "cell")
+        F.col(id_col).alias("corpus_id"), "cell")
     qsrc = queries if queries is not None else df
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     probes = qsrc.select(
-        F.col(id_col).alias("query_id"), qv.alias("_qv"),
+        F.col(id_col).alias("query_id"),
         F.explode(_topn_cells_udf(centroids, nprobe)(qv)).alias("cell"))
     cand = (probes.join(corpus, "cell")
             .where(F.col("query_id") != F.col("corpus_id"))
-            .select("query_id", "_qv", "corpus_id", "_cv"))
+            .select("query_id", "corpus_id"))
     if observation is not None:
         cand = cand.observe(observation,
                             F.count(F.lit(1)).alias("n_candidate_pairs"))
-    scored = cand.select("query_id", "corpus_id",
-                         cosine_pairs_udf()("_qv", "_cv").alias("cosine"))
+    qa = qsrc.select(F.col(id_col).alias("query_id"), qv.alias("_qv"))
+    ca = df.select(F.col(id_col).alias("corpus_id"),
+                   F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                   .alias("_cv"))
+    scored = (cand.join(qa, "query_id").join(ca, "corpus_id")
+              .select("query_id", "corpus_id",
+                      cosine_pairs_udf()("_qv", "_cv").alias("cosine")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("corpus_id"))

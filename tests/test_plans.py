@@ -136,3 +136,20 @@ def test_ivf_no_corpus_crossjoin(spark):
     plan = _plan(ivf_topk(emb, cents, k=3, nprobe=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_driver_side_data_materialization_in_queries():
+    """Source guard (VERDICT r2 #2): no gate-query path may collect a
+    data-scale DataFrame on the driver. `.toPandas(` is banned outright in
+    __spark_entry__.py; `.collect(` is allowed only in the documented
+    few-row patterns (single-value aggregates and _materialize_small)."""
+    import pathlib
+    src = (pathlib.Path(__file__).parent.parent / "__spark_entry__.py").read_text()
+    assert ".toPandas(" not in src, \
+        "driver-side toPandas() found in __spark_entry__.py gate queries"
+    allowed_collect_markers = ("F.max(\"count\")).collect()[0][0]",
+                               "spark.createDataFrame(df.collect(), df.schema)")
+    lines = [ln for ln in src.splitlines() if ".collect()" in ln]
+    for ln in lines:
+        assert any(m in ln for m in allowed_collect_markers), \
+            f"unreviewed .collect() in __spark_entry__.py: {ln.strip()}"
