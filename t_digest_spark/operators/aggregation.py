@@ -152,6 +152,13 @@ def tdigest_merge(partials: DataFrame, group_cols: Optional[Sequence[str]] = Non
     ``salt_levels > 0`` inserts intermediate salted merge rounds (fan-in control
     for jobs with very many input partitions); digest mergeability makes the
     extra level correctness-free (merge associativity, SURVEY.md §2.4).
+
+    Measured guidance (BENCH.md §6, scripts/skew_bench.py — 90%-hot-key
+    input, delta=500): below ~2,000 partials per group the extra shuffle
+    round costs ~3x; at 4,096 partials per group the unsalted hot-key merge
+    becomes a 22s straggler and one salted level wins 3.1x. Default to 0;
+    set 1 when hot groups see thousands of input partitions (any 100-TB
+    scan does).
     """
     group_cols = list(group_cols or [])
     df = partials
