@@ -125,6 +125,60 @@ public final class Harness {
                 Files.write(Paths.get(args[2]), sk.toByteArray());
                 break;
             }
+            case "scales": {
+                // Behavioral parity surface for SURVEY.md §2.2: every scale
+                // function's k/q/max over a (q, delta, n) grid.
+                double[] qs = {0.0, 1e-6, 1e-4, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.9999, 1.0 - 1e-6, 1.0};
+                double[] ks = {-10.0, -1.0, 0.0, 0.5, 1.0, 5.0, 20.0, 50.0};
+                double[][] dn = {{100, 1000}, {100, 1_000_000}, {200, 50_000}, {20, 500}};
+                StringBuilder sb = new StringBuilder("{");
+                boolean firstFn = true;
+                for (com.tdunning.math.stats.ScaleFunction fn
+                        : com.tdunning.math.stats.ScaleFunction.values()) {
+                    if (!firstFn) {
+                        sb.append(',');
+                    }
+                    firstFn = false;
+                    sb.append('"').append(fn.name()).append("\":[");
+                    boolean firstCfg = true;
+                    for (double[] cfg : dn) {
+                        if (!firstCfg) {
+                            sb.append(',');
+                        }
+                        firstCfg = false;
+                        double norm = fn.normalizer(cfg[0], cfg[1]);
+                        sb.append("{\"delta\":").append(fmt(cfg[0]))
+                          .append(",\"n\":").append(fmt(cfg[1]))
+                          .append(",\"normalizer\":").append(fmt(norm))
+                          .append(",\"k\":[");
+                        for (int i = 0; i < qs.length; i++) {
+                            if (i > 0) {
+                                sb.append(',');
+                            }
+                            sb.append(fmt(fn.k(qs[i], norm)));
+                        }
+                        sb.append("],\"q\":[");
+                        for (int i = 0; i < ks.length; i++) {
+                            if (i > 0) {
+                                sb.append(',');
+                            }
+                            sb.append(fmt(fn.q(ks[i], norm)));
+                        }
+                        sb.append("],\"max\":[");
+                        for (int i = 0; i < qs.length; i++) {
+                            if (i > 0) {
+                                sb.append(',');
+                            }
+                            sb.append(fmt(fn.max(qs[i], norm)));
+                        }
+                        sb.append("]}");
+                    }
+                    sb.append(']');
+                }
+                sb.append('}');
+                Files.write(Paths.get(args[1]), sb.toString().getBytes("UTF-8"));
+                break;
+            }
             default:
                 throw new IllegalArgumentException("unknown command: " + args[0]);
         }

@@ -123,6 +123,9 @@ def main():
             assert (TMP / "req_rt.bin").read_bytes() == pybin.read_bytes(), \
                 "REQ exact: Java round-trip of Python image not byte-identical"
 
+    # ---- Scale-function behavioral vectors (all 11 enum values, full grid)
+    jrun("scales", str(FIXDIR / "scales.json"))
+
     print(f"fixtures written to {FIXDIR}")
 
 

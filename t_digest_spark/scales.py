@@ -104,7 +104,10 @@ def fast_asin(x):
     x = np.asarray(x, dtype=np.float64)
     scalar = x.ndim == 0
     a = np.abs(np.atleast_1d(x))
-    sign = np.sign(np.atleast_1d(x))
+    # Java negates only for x < 0; fastAsin(0) takes the positive path and
+    # returns the model's tiny bias (~-6.2e-8), NOT exact 0 — np.sign(0)=0
+    # would silently zero it, breaking bit-parity at q=0.5
+    sign = np.where(np.atleast_1d(x) < 0, -1.0, 1.0)
     out = np.full(a.shape, np.nan)
     c0_hi, c1_hi, c2_lo, c2_hi, c3_lo, c3_hi, c4_lo = \
         0.1, 0.55, 0.5, 0.8, 0.75, 0.9, 0.87
@@ -171,8 +174,13 @@ class _K3:
 
     @staticmethod
     def k(q, normalizer):
+        # exact nested-limitCall semantics (ScaleFunction.java:549-561,
+        # verified vs the compiled reference): the q>0.5 branch recurses
+        # -k(1-q) back through the outer clamp, so the FLOAT-computed 1-q
+        # is re-clamped up to 1e-15
         q = _clip_q(np.asarray(q, dtype=np.float64))
-        lo = np.log(2.0 * np.minimum(q, 1.0 - q)) * normalizer
+        half = np.maximum(np.minimum(q, 1.0 - q), _EPS)
+        lo = np.log(2.0 * half) * normalizer
         return np.where(q <= 0.5, lo, -lo)
 
     @staticmethod
@@ -249,7 +257,8 @@ class _K2Glued:
         lo = ((q - s) / s / (1 - s) + ls) * normalizer
         qm = np.clip(q, s, 1.0 - _EPS)
         hi = np.log(qm / (1.0 - qm)) * normalizer
-        top = 2.0 * math.log((1 - _EPS) / _EPS) * normalizer  # 2*k(1-eps)
+        qb = 1.0 - _EPS        # Java evaluates 2*k(1-1e-15) with the
+        top = 2.0 * math.log(qb / (1.0 - qb)) * normalizer  # FLOAT 1-q
         out = np.where(q <= s, lo, hi)
         return np.where(q > 1 - _EPS, top, out)
 
@@ -288,7 +297,8 @@ class _K3Glued:
         lo = normalizer * (2.0 * q - 1.0)
         qm = np.clip(q, 0.5, 1.0 - _EPS)
         hi = -normalizer * np.log(2.0 * (1.0 - qm))
-        top = 10.0 * (-normalizer * math.log(2.0 * _EPS))  # 10*k(1-eps)
+        qb = 1.0 - _EPS        # Java evaluates 10*k(1-1e-15) with the
+        top = 10.0 * (-normalizer * math.log(2.0 * (1.0 - qb)))  # FLOAT 1-q
         out = np.where(q <= 0.5, lo, hi)
         return np.where(q > 1 - _EPS, top, out)
 
@@ -327,8 +337,13 @@ class _KQuadratic:
 
     @staticmethod
     def max(q, normalizer):
+        # Reference artifact kept for parity: Java's 2-arg max writes
+        # "3 / 2 / normalizer" with INT division (ScaleFunction.java:634-637)
+        # so the constant is 1, not 1.5 — the merge loop therefore runs
+        # K_QUADRATIC with a 1.5x tighter weight limit than the 3-arg
+        # variant intends. Verified vs the compiled reference.
         q = np.asarray(q, dtype=np.float64)
-        return 3.0 / 2.0 / normalizer / (1.0 + q)
+        return 1.0 / normalizer / (1.0 + q)
 
     @staticmethod
     def normalizer(delta, n):
@@ -377,10 +392,20 @@ class _K1Fast:
 
     @staticmethod
     def k(q, normalizer):
-        q = _clip_q(q)
+        # Java clamps to [0, 1] ONLY (limitCall(f, q, 0, 1),
+        # ScaleFunction.java:247-256) — unlike K_1 there is no 1e-15 interior
+        # clamp, so k(0)/k(1) hit the exact asin(+-1) = +-pi/2 branch.
+        # Verified vs the compiled reference (java_parity scales vectors).
+        q = np.clip(np.asarray(q, dtype=np.float64), 0.0, 1.0)
         return normalizer * fast_asin(2.0 * q - 1.0)
 
-    q = staticmethod(_K1.q)
+    @staticmethod
+    def q(k, normalizer):
+        # unlike K_1, the reference does NOT clamp k/normalizer to +-pi/2
+        # here — out-of-range k wraps through sin (ScaleFunction.java K_1_FAST
+        # 2-arg q; verified vs the compiled reference)
+        return (np.sin(np.asarray(k, dtype=np.float64) / normalizer) + 1.0) / 2.0
+
     max = staticmethod(_K1.max)
     normalizer = staticmethod(_K1.normalizer)
 

@@ -195,6 +195,50 @@ def test_req_python_image_read_by_java(fmt):
     _assert_quantiles(s, summary, REL_F64)
 
 
+# ------------------------------------------------------------ scale functions
+
+_SCALE_NAME_MAP = {
+    "K_0": "k0", "K_1": "k1", "K_1_GLUED": "k1_glued", "K_1_FAST": "k1_fast",
+    "K_2": "k2", "K_2_GLUED": "k2_glued", "K_3": "k3", "K_3_GLUED": "k3_glued",
+    "K_QUADRATIC": "k_quadratic", "K_2_NO_NORM": "k2_no_norm",
+    "K_3_NO_NORM": "k3_no_norm",
+}
+_SCALE_QS = [0.0, 1e-6, 1e-4, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.9999,
+             1.0 - 1e-6, 1.0]
+_SCALE_KS = [-10.0, -1.0, 0.0, 0.5, 1.0, 5.0, 20.0, 50.0]
+
+
+@pytest.mark.parametrize("jname", sorted(_SCALE_NAME_MAP))
+def test_scale_function_java_vectors(jname):
+    """Every scale function's k/q/max/normalizer matches the COMPILED
+    reference over the full grid including the boundary clamps (the
+    java_parity `scales` command produced these vectors). This pins the
+    exact limitCall/recursion semantics at q in {0, 1e-15-ish, 0.5, 1} and
+    the two reference artifacts kept deliberately: fastAsin's nonzero bias
+    at 0 and K_QUADRATIC's 2-arg max int-division constant."""
+    import math
+
+    from t_digest_spark.scales import get_scale
+
+    s = get_scale(_SCALE_NAME_MAP[jname])
+    for cfg in _load("scales.json")[jname]:
+        norm = s.normalizer(_num(cfg["delta"]), _num(cfg["n"]))
+        assert norm == pytest.approx(_num(cfg["normalizer"]), rel=1e-12)
+        for fn, grid, vals in (("k", _SCALE_QS, cfg["k"]),
+                               ("q", _SCALE_KS, cfg["q"]),
+                               ("max", _SCALE_QS, cfg["max"])):
+            for x, jv in zip(grid, vals):
+                jvn = _num(jv)
+                pv = float(np.atleast_1d(getattr(s, fn)(x, norm))[0])
+                if math.isnan(jvn):
+                    assert math.isnan(pv), f"{jname}.{fn}({x})"
+                elif math.isinf(jvn):
+                    assert pv == jvn, f"{jname}.{fn}({x})"
+                else:
+                    assert abs(pv - jvn) <= 1e-12 * max(1.0, abs(jvn)), \
+                        f"{jname}.{fn}({x}): java={jvn!r} python={pv!r}"
+
+
 # ----------------------------------------------------------------- live loop
 
 @pytest.mark.skipif(

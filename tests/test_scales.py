@@ -48,6 +48,12 @@ def test_max_matches_k_derivative(name):
         k = float(s.k(q, norm))
         width = float(s.q(k + 0.5, norm)) - float(s.q(k - 0.5, norm))
         mx = float(s.max(q, norm))
+        if name == "k_quadratic":
+            # reference artifact kept for parity: the 2-arg Java max uses
+            # int division "3 / 2" == 1, so max undershoots the true
+            # derivative width by exactly 1.5x (scales.py _KQuadratic.max,
+            # verified vs the compiled reference)
+            mx *= 1.5
         assert width == pytest.approx(mx, rel=0.35), (name, q)
 
 
@@ -127,7 +133,10 @@ def test_fast_asin_reference_contract():
     assert fast_asin(1.0) == math.asin(1.0)     # exact at the endpoint
     assert math.isnan(fast_asin(1.0001))
     assert fast_asin(-1.0) == -math.asin(1.0)
-    assert fast_asin(0.0) == 0.0
+    # Java's fastAsin(0) takes the positive model path and returns the
+    # spline's tiny bias, NOT exact zero (verified vs the compiled
+    # reference: -6.2e-8); parity keeps that behavior
+    assert abs(fast_asin(0.0)) < 1e-6 and fast_asin(0.0) != 0.0
 
 
 def test_k1_fast_scale_behaves_like_k1():
