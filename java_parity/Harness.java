@@ -125,6 +125,67 @@ public final class Harness {
                 Files.write(Paths.get(args[2]), sk.toByteArray());
                 break;
             }
+            case "compare": {
+                // Comparison/Dist behavioral vectors: two digests built from
+                // the two input files, then chi2/ks between them plus the
+                // exact Dist oracle on the first dataset.
+                double[] in1 = readDoubles(args[1]);
+                double[] in2 = readDoubles(args[2]);
+                MergingDigest d1 = new MergingDigest(100);
+                MergingDigest d2 = new MergingDigest(100);
+                for (double v : in1) {
+                    d1.add(v);
+                }
+                for (double v : in2) {
+                    d2.add(v);
+                }
+                d1.compress();
+                d2.compress();
+                // digest states out, so Python can run ITS comparison
+                // functions on the identical centroid sets
+                ByteBuffer b1 = ByteBuffer.allocate(d1.byteSize());
+                d1.asBytes(b1);
+                Files.write(Paths.get(args[3] + ".d1.bin"), sliceToArray(b1));
+                ByteBuffer b2 = ByteBuffer.allocate(d2.byteSize());
+                d2.asBytes(b2);
+                Files.write(Paths.get(args[3] + ".d2.bin"), sliceToArray(b2));
+                // Dist indexes the array AS GIVEN (caller sorts; the
+                // reference tests Arrays.sort first)
+                double[] sorted1 = in1.clone();
+                java.util.Arrays.sort(sorted1);
+                double[] qCuts = {0.1, 0.25, 0.5, 0.75, 0.9};
+                StringBuilder sb = new StringBuilder();
+                sb.append("{\"chi2\":").append(fmt(
+                        com.tdunning.math.stats.Comparison.compareChi2(d1, d2, qCuts)));
+                sb.append(",\"ks\":").append(fmt(
+                        com.tdunning.math.stats.Comparison.ks(d1, d2)));
+                sb.append(",\"llr_2x2\":").append(fmt(
+                        com.tdunning.math.stats.Comparison.llr(
+                                new double[][]{{110, 20}, {60, 45}})));
+                sb.append(",\"dist_cdf\":{");
+                boolean first = true;
+                for (double x : new double[]{in1[0], in1[7], in1[42], 0.0, 1e9}) {
+                    if (!first) {
+                        sb.append(',');
+                    }
+                    first = false;
+                    sb.append('"').append(x).append("\":").append(fmt(
+                            com.tdunning.math.stats.Dist.cdf(x, sorted1)));
+                }
+                sb.append("},\"dist_quantile\":{");
+                first = true;
+                for (double q : Q_GRID) {
+                    if (!first) {
+                        sb.append(',');
+                    }
+                    first = false;
+                    sb.append('"').append(q).append("\":").append(fmt(
+                            com.tdunning.math.stats.Dist.quantile(q, sorted1)));
+                }
+                sb.append("}}");
+                Files.write(Paths.get(args[3]), sb.toString().getBytes("UTF-8"));
+                break;
+            }
             case "scales": {
                 // Behavioral parity surface for SURVEY.md §2.2: every scale
                 // function's k/q/max over a (q, delta, n) grid.

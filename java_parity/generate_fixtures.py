@@ -126,6 +126,14 @@ def main():
     # ---- Scale-function behavioral vectors (all 11 enum values, full grid)
     jrun("scales", str(FIXDIR / "scales.json"))
 
+    # ---- Comparison (chi2/ks/llr) + Dist oracle vectors; the harness also
+    # dumps both digest states so Python compares on identical centroids.
+    in1 = TMP / "cmp1.doubles"
+    in2 = TMP / "cmp2.doubles"
+    np.random.default_rng(42).gamma(2.0, 3.0, 50_000).astype("<f8").tofile(in1)
+    np.random.default_rng(9).gamma(2.2, 2.8, 40_000).astype("<f8").tofile(in2)
+    jrun("compare", str(in1), str(in2), str(FIXDIR / "compare.json"))
+
     print(f"fixtures written to {FIXDIR}")
 
 

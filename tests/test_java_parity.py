@@ -239,6 +239,33 @@ def test_scale_function_java_vectors(jname):
                         f"{jname}.{fn}({x}): java={jvn!r} python={pv!r}"
 
 
+# ---------------------------------------------------- Comparison + Dist oracle
+
+def test_comparison_and_dist_java_vectors():
+    """chi2 / ks / llr / Dist.cdf / Dist.quantile match the compiled
+    reference on identical digest states (the harness dumps the Java-built
+    digests next to its own answers)."""
+    import math
+
+    from t_digest_spark.core import Dist
+    from t_digest_spark.functions.compare import (compare_chi2_digests,
+                                                  ks_digests, llr)
+
+    j = _load("compare.json")
+    d1 = TDigest.from_bytes((FIXDIR / "compare.json.d1.bin").read_bytes())
+    d2 = TDigest.from_bytes((FIXDIR / "compare.json.d2.bin").read_bytes())
+    assert compare_chi2_digests(d1, d2) == pytest.approx(_num(j["chi2"]), rel=1e-12)
+    assert ks_digests(d1, d2) == pytest.approx(_num(j["ks"]), rel=1e-12)
+    assert llr(np.array([[110.0, 20.0], [60.0, 45.0]])) == \
+        pytest.approx(_num(j["llr_2x2"]), rel=1e-12)
+
+    in1 = np.random.default_rng(42).gamma(2.0, 3.0, 50_000)
+    for k, v in j["dist_cdf"].items():
+        assert Dist.cdf(float(k), in1) == pytest.approx(_num(v), abs=1e-15)
+    for k, v in j["dist_quantile"].items():
+        assert Dist.quantile(float(k), in1) == pytest.approx(_num(v), rel=1e-12)
+
+
 # ----------------------------------------------------------------- live loop
 
 @pytest.mark.skipif(
