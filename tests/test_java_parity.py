@@ -113,6 +113,23 @@ def test_merging_python_bytes_read_by_java(name):
     _assert_cdf(d, summary, REL_F64)
 
 
+@pytest.mark.parametrize("name", ["gamma", "uniform"])
+def test_merging_cross_build_rank_agreement(name):
+    """Build-path behavioral equivalence (not just codec parity): a digest
+    built by the reference's per-point add loop and one built by our bulk
+    sort+sweep over the SAME data must agree at rank level — every Java
+    quantile sits within 1% rank of the Python digest's cdf. (Continuous
+    datasets only: the midpoint-cdf convention makes this metric
+    meaningless across heavy tie plateaus.)"""
+    vals = DATASETS[name]().astype(np.float64)
+    d = TDigest.from_values(vals, delta=100.0)
+    jsum = _load(f"md_{name}.json")
+    for k, v in jsum["quantiles"].items():
+        q, jv = float(k), _num(v)
+        assert abs(d.cdf(jv) - q) < 0.011, \
+            f"q={q}: java quantile {jv} sits at python rank {d.cdf(jv)}"
+
+
 # --------------------------------------------------------------- AVLTreeDigest
 
 @pytest.mark.parametrize("name", list(DATASETS))
