@@ -1051,6 +1051,10 @@ def q_streaming_windowed_digest(spark, sf_dir):
         import shutil
         import time
         slice_dir = in_dir + "_slices"
+        # purge any partial staging from a crashed prior run: a stale
+        # chunk file with an old mtime would replay FIRST and corrupt the
+        # exact windowed counts
+        shutil.rmtree(in_dir, ignore_errors=True)
         (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
            .write.mode("overwrite").parquet(slice_dir))
         os.makedirs(in_dir, exist_ok=True)

@@ -144,8 +144,15 @@ def main():
     comparable = None
     try:
         import glob
+        import re
         here = os.path.dirname(os.path.abspath(__file__))
-        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+
+        def round_no(path):
+            m = re.search(r"BENCH_r(\d+)\.json$", path)
+            return int(m.group(1)) if m else -1
+
+        benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                         key=round_no)   # numeric, not lexical: r3 < r10 < r100
         if benches:
             with open(benches[-1]) as f:
                 prev_q = (json.load(f).get("parsed") or {}).get("queries") or {}

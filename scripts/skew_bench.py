@@ -29,6 +29,8 @@ import pyspark.sql.functions as F
 
 
 def main():
+    # NOTE: if you change delta or the hot-key share below, also change the
+    # cache-path suffix — persisted partials are keyed on the full config.
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     fanins = [256, 1024, 4096]
@@ -54,7 +56,7 @@ def main():
 
     results = {}
     for fanin in fanins:
-        part_path = f"/tmp/tdigest_skew_partials_{rows}_{fanin}"
+        part_path = f"/tmp/tdigest_skew_partials_{rows}_{fanin}_d500_hot90"
         if not os.path.exists(os.path.join(part_path, "_SUCCESS")):
             partials = tdigest_partial_build(
                 src.repartition(fanin), "x", ["g"], delta=500.0)

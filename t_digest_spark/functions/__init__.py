@@ -184,6 +184,10 @@ def register_sql_aggregate(spark, delta: float = 100.0, scale: str = "k2",
                 self._buf.clear()
             d = self._digest
             if d.count == 0:
+                # keep SQL GROUP BY semantics: a partition whose values are
+                # all NULL still yields its group row (empty digest), rather
+                # than silently vanishing from downstream joins
+                yield (self._key, [], [], float("nan"), float("nan"), 0.0)
                 return
             d.compress()
             yield (self._key, [float(v) for v in d.means],

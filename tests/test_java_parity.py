@@ -256,6 +256,34 @@ def test_scale_function_java_vectors(jname):
                         f"{jname}.{fn}({x}): java={jvn!r} python={pv!r}"
 
 
+def test_req_estimation_reader_on_foreign_layout_variant():
+    """The reference's serializer bug means no Java-WRITTEN estimation image
+    exists (Java's READER is still the ground truth — it heapifies our
+    estimation images, which pins the writer's field order; this test covers
+    the reader against a layout variant our writer never produces: level-0
+    UNSORTED with the LEVEL_0_SORTED flag cleared, as a real datasketches-java
+    writer may emit)."""
+    raw = bytearray((FIXDIR / "req_estimation_py.bin").read_bytes())
+    base = ReqSketch.from_datasketches_bytes(bytes(raw))
+    # clear the sorted flag (bit 32 of byte 3) and shuffle the first
+    # compactor's items in place (header: 8 preamble + 8 N + 16 min/max,
+    # then compactor 0: 8 state + 4 ssf + 1 lgw + 1 nsec + 2 pad + 4 count)
+    raw[3] &= ~32 & 0xFF
+    import struct
+    c0 = 8 + 8 + 16
+    (count,) = struct.unpack_from("<i", bytes(raw), c0 + 16)
+    items = np.frombuffer(bytes(raw), dtype="<f8", offset=c0 + 20,
+                          count=count).copy()
+    np.random.default_rng(0).shuffle(items)
+    raw[c0 + 20:c0 + 20 + 8 * count] = items.astype("<f8").tobytes()
+
+    variant = ReqSketch.from_datasketches_bytes(bytes(raw))
+    assert variant.n == base.n
+    assert variant.num_retained == base.num_retained
+    for q in (0.01, 0.5, 0.99, 0.999):
+        assert variant.quantile(q) == base.quantile(q)
+
+
 # ---------------------------------------------------- Comparison + Dist oracle
 
 def test_comparison_and_dist_java_vectors():
