@@ -125,6 +125,70 @@ public final class Harness {
                 Files.write(Paths.get(args[2]), sk.toByteArray());
                 break;
             }
+            case "fhisto-build": {
+                // args: min max binsPerDecade in.doubles out.oos out.json
+                com.tdunning.math.stats.FloatHistogram h =
+                        new com.tdunning.math.stats.FloatHistogram(
+                                Double.parseDouble(args[1]),
+                                Double.parseDouble(args[2]),
+                                Double.parseDouble(args[3]));
+                for (double v : readDoubles(args[4])) {
+                    h.add(v);
+                }
+                java.io.ByteArrayOutputStream bos = new java.io.ByteArrayOutputStream();
+                java.io.ObjectOutputStream oos = new java.io.ObjectOutputStream(bos);
+                h.writeObject(oos);
+                oos.flush();
+                Files.write(Paths.get(args[5]), bos.toByteArray());
+                long[] counts = h.getCounts();
+                StringBuilder sb = new StringBuilder("{\"counts\":[");
+                for (int i = 0; i < counts.length; i++) {
+                    if (i > 0) {
+                        sb.append(',');
+                    }
+                    sb.append(counts[i]);
+                }
+                sb.append("]}");
+                Files.write(Paths.get(args[6]), sb.toString().getBytes("UTF-8"));
+                break;
+            }
+            case "s64-compress": {
+                // in: raw LE longs (uncompressed); out: compressed words as LE longs
+                double[] dIn = readDoubles(args[1]);   // reuse LE reader bitwise
+                long[] vals = new long[dIn.length];
+                for (int i = 0; i < dIn.length; i++) {
+                    vals[i] = Double.doubleToRawLongBits(dIn[i]);
+                }
+                java.nio.LongBuffer lb = java.nio.LongBuffer.allocate(vals.length + 1);
+                com.tdunning.math.stats.Simple64.compress(lb, vals, 0, vals.length);
+                ByteBuffer ob = ByteBuffer.allocate(8 * lb.position())
+                        .order(ByteOrder.LITTLE_ENDIAN);
+                int nWords = lb.position();
+                lb.flip();
+                for (int i = 0; i < nWords; i++) {
+                    ob.putLong(lb.get());
+                }
+                Files.write(Paths.get(args[2]), ob.array());
+                break;
+            }
+            case "s64-decompress": {
+                // in: compressed LE longs + expected count; out: LE longs
+                byte[] raw = Files.readAllBytes(Paths.get(args[1]));
+                int n = Integer.parseInt(args[2]);
+                java.nio.LongBuffer lb = java.nio.LongBuffer.allocate(raw.length / 8);
+                ByteBuffer ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN);
+                while (ib.remaining() >= 8) {
+                    lb.put(ib.getLong());
+                }
+                long[] vals = new long[n];
+                com.tdunning.math.stats.Simple64.decompress(lb, vals);
+                ByteBuffer ob = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN);
+                for (long v : vals) {
+                    ob.putLong(v);
+                }
+                Files.write(Paths.get(args[3]), ob.array());
+                break;
+            }
             case "compare": {
                 // Comparison/Dist behavioral vectors: two digests built from
                 // the two input files, then chi2/ks between them plus the

@@ -126,6 +126,36 @@ def main():
     # ---- Scale-function behavioral vectors (all 11 enum values, full grid)
     jrun("scales", str(FIXDIR / "scales.json"))
 
+    # ---- Simple64 codec: Java-compressed words for varied shapes + the
+    # Java object stream of a FloatHistogram (payload cross-validated).
+    rng = np.random.default_rng(5)
+    s64_cases = {
+        "zeros": np.zeros(100, dtype=np.int64),
+        "small": rng.integers(0, 4, 500),
+        "mixed": rng.integers(0, 1000, 300),
+        "spiky": np.maximum(0, rng.poisson(3, 400)
+                            + rng.integers(0, 2, 400) * rng.integers(0, 100000, 400)),
+        "big": rng.integers(0, 2 ** 59, 50),
+        "ramp": np.arange(200, dtype=np.int64),
+    }
+    s64_fix = {}
+    for cname, vals in s64_cases.items():
+        vals = vals.astype(np.int64)
+        infile = TMP / "s64_in.bin"
+        vals.view(np.uint64).astype("<u8").tofile(infile)
+        jrun("s64-compress", str(infile), str(TMP / "s64_j.bin"))
+        jwords = np.fromfile(TMP / "s64_j.bin", dtype="<u8")
+        s64_fix[cname] = {"values": [int(v) for v in vals],
+                          "java_words": [int(w) for w in jwords]}
+    (FIXDIR / "simple64.json").write_text(json.dumps(s64_fix))
+
+    fh_vals = np.random.default_rng(11).gamma(2.0, 3.0, 30_000) + 0.5
+    fh_in = TMP / "fh_in.doubles"
+    fh_vals.astype("<f8").tofile(fh_in)
+    jrun("fhisto-build", "0.4", "100.0", "50", str(fh_in),
+         str(FIXDIR / "float_histogram.oos"),
+         str(FIXDIR / "float_histogram.json"))
+
     # ---- Comparison (chi2/ks/llr) + Dist oracle vectors; the harness also
     # dumps both digest states so Python compares on identical centroids.
     in1 = TMP / "cmp1.doubles"

@@ -281,3 +281,73 @@ def histogram_quantile(spec: HistogramSpec, q: float) -> Column:
     frac = (target - prev_cum.cast("double")) / cnt.cast("double")
     return F.when(idx == 0, F.lit(None).cast("double")).otherwise(
         lo_e + (hi_e - lo_e) * F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))
+
+
+# ---------------------------------------------------------------- wire serde
+
+def float_histogram_to_bytes(spec: "HistogramSpec", counts) -> bytes:
+    """FloatHistogram serialization PAYLOAD, wire-compatible with what
+    FloatHistogram.writeObject emits inside the Java object stream
+    (FloatHistogram.java:94-109): min/max doubles, precision + shift bytes,
+    a short byte-length, then the Simple64-compressed counts as big-endian
+    64-bit words. The Java-Serializable container framing (stream magic +
+    block-data records) is a JVM transport detail — strip it with
+    `java_object_stream_payload` when reading reference-produced streams."""
+    import struct
+
+    from t_digest_spark import simple64
+
+    if spec.kind != "float_repr":
+        raise ValueError("wire serde is defined for float_repr histograms")
+    words = simple64.compress([int(c) for c in counts])
+    return (struct.pack(">ddbbh", spec.lo, spec.hi, spec.bits,
+                        52 - spec.bits, 8 * len(words))
+            + struct.pack(f">{len(words)}Q", *words))
+
+
+def float_histogram_from_bytes(raw: bytes):
+    """Parse the payload back to (HistogramSpec, counts list). The bin count
+    derives from (min, max, precision) exactly as readObject does
+    (FloatHistogram.java:113-132). NOTE: the reference's own readObject
+    CORRUPTS counts whenever a compressed word uses the 15x4-bit packing —
+    Simple64.java decompressSingle STATUS_15NUM_4BITS writes outOffset+6
+    twice and never writes outOffset+7 (copy-paste bug, found by the
+    java_parity harness); this reader decodes the format as written."""
+    import math as _math
+    import struct
+
+    from t_digest_spark import simple64
+
+    lo, hi, bits, _shift, nbytes = struct.unpack_from(">ddbbh", raw, 0)
+    # a bins_per_decade that reproduces exactly these precision bits
+    bpd = (1 << bits) / _math.log10(2)
+    spec = HistogramSpec(lo, hi, kind="float_repr", bins_per_decade=bpd)
+    if spec.bits != bits:
+        raise ValueError(f"cannot reconstruct precision {bits}")
+    n_words = nbytes // 8
+    words = struct.unpack_from(f">{n_words}Q", raw, 20)
+    counts = simple64.decompress(words, spec.n_bins)
+    return spec, counts
+
+
+def java_object_stream_payload(raw: bytes) -> bytes:
+    """Extract raw primitive payload from a Java ObjectOutputStream that
+    only wrote primitives (stream magic 0xACED 0x0005 + TC_BLOCKDATA /
+    TC_BLOCKDATALONG records)."""
+    if raw[:4] != b"\xac\xed\x00\x05":
+        raise ValueError("not a Java object stream")
+    out = bytearray()
+    i = 4
+    while i < len(raw):
+        tag = raw[i]
+        if tag == 0x77:              # TC_BLOCKDATA, 1-byte length
+            n = raw[i + 1]
+            out += raw[i + 2:i + 2 + n]
+            i += 2 + n
+        elif tag == 0x7A:            # TC_BLOCKDATALONG, 4-byte length
+            n = int.from_bytes(raw[i + 1:i + 5], "big")
+            out += raw[i + 5:i + 5 + n]
+            i += 5 + n
+        else:
+            raise ValueError(f"unexpected object-stream tag 0x{tag:02x}")
+    return bytes(out)
