@@ -195,3 +195,31 @@ def register_sql_aggregate(spark, delta: float = 100.0, scale: str = "k2",
                    float(d.min), float(d.max), float(d.count))
 
     spark.udtf.register("tdigest_build", TDigestBuildUDTF)
+
+    @udtf(returnType="key string, items array<double>, offsets array<int>, "
+                     "kmin double, kmax double, count double")
+    class KllBuildUDTF:
+        def __init__(self):
+            from t_digest_spark.sketches.kll import KllSketch
+            self._sk = KllSketch()
+            self._buf = []
+            self._key = None
+
+        def eval(self, row):
+            if row.key is not None:
+                self._key = row.key
+            x = row.x
+            if x is not None:
+                self._buf.append(float(x))
+                if len(self._buf) >= chunk:
+                    self._sk.update_values(np.asarray(self._buf))
+                    self._buf.clear()
+
+        def terminate(self):
+            if self._buf:
+                self._sk.update_values(np.asarray(self._buf))
+                self._buf.clear()
+            items, offs, mn, mx, n = self._sk.to_row()
+            yield (self._key, items, offs, mn, mx, n)
+
+    spark.udtf.register("kll_build", KllBuildUDTF)

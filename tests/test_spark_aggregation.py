@@ -221,6 +221,27 @@ def test_sql_build_aggregate_udtf(spark):
     assert abs(rows[1].p50 - 200.0) < 4.0
 
 
+def test_sql_kll_build_udtf(spark):
+    """kll_build gives the registered kll_quantile SQL function a pure-SQL
+    producer; exact regime (k=200 > group size) means quantiles are exact
+    order statistics in the Java-parity floor convention."""
+    from t_digest_spark.functions import (register_sql_aggregate,
+                                          register_sql_functions)
+    register_sql_functions(spark)
+    register_sql_aggregate(spark)
+    rng = np.random.default_rng(6)
+    vals = rng.uniform(0, 100, 150)
+    pdf = pd.DataFrame({"g": ["a"] * 150, "x": vals})
+    spark.createDataFrame(pdf).createOrReplaceTempView("sql_kll_src")
+    row = spark.sql("""
+        SELECT key, count AS n,
+               kll_quantile(items, offsets, kmin, kmax, count, 0.5) AS p50
+        FROM kll_build(TABLE(SELECT g AS key, x FROM sql_kll_src)
+                       PARTITION BY key)""").collect()[0]
+    assert row.key == "a" and row.n == 150.0
+    assert row.p50 == float(np.sort(vals)[int(0.5 * 150)])
+
+
 def test_entry_contract_schema(spark):
     """Driver-contract guard: entry() keeps a stable schema and >=1 row."""
     import __spark_entry__ as em
