@@ -143,6 +143,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
     num_hashes/bands controls the similarity threshold ~ (1/bands)^(bands/num_hashes).
     Returns distinct (id_a, id_b) candidate pairs.
+
+    Scale guidance (measured, BENCH.md §8): with FIXED band geometry the
+    candidate volume grows ~ corpus x E[s^r] where r = num_hashes/bands and
+    s is the background pair similarity — i.e. linearly per doc. The 1M-doc
+    smoke measured 0.67 -> 6.73 candidates/doc going 100k -> 1M docs at
+    r=4. For corpora beyond ~1M docs raise rows-per-band (r=6-8, e.g.
+    bands=8 at num_hashes=64) to suppress the background tail; pick
+    num_hashes so the match curve 1-(1-s^r)^bands stays ~1 at your
+    duplicate-similarity target.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
