@@ -153,3 +153,21 @@ def test_no_driver_side_data_materialization_in_queries():
     for ln in lines:
         assert any(m in ln for m in allowed_collect_markers), \
             f"unreviewed .collect() in __spark_entry__.py: {ln.strip()}"
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path):
+    """The IVF docstring claims the cell column is a write-once partition
+    column at scale so probes prune at the scan — prove it: write the index
+    partitioned by cell, read back with a cell filter, and assert the scan
+    carries partition filters (full pruning, no post-scan cell filter)."""
+    import numpy as np
+    from t_digest_spark.operators.ivf import ivf_index
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.random.default_rng(1).standard_normal((8, 64))
+    out = str(tmp_path / "ivf_cells")
+    ivf_index(emb, cents).write.partitionBy("cell").parquet(out)
+    probed = spark.read.parquet(out).where(F.col("cell").isin(1, 3))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert probed.count() > 0
