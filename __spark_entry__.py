@@ -995,7 +995,12 @@ def q_streaming_digest_events(spark, sf_dir):
     # empty stores per micro-batch is pure checkpoint overhead. Pin to 4 for
     # the stream (captured at query start), then restore.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # retain 2 batches of state/commit logs instead of 100: these per-run
+    # replay checkpoints are never resumed mid-history, and the default
+    # retention is pure per-trigger IO (measured 6.0s -> 4.0s on this query)
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try:
         q = (digests.writeStream.format("memory").queryName(name)
              .outputMode("update").option("checkpointLocation", ckpt).start())
@@ -1005,6 +1010,7 @@ def q_streaming_digest_events(spark, sf_dir):
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
     latest = (spark.table(name)
               .withColumn("__rn", F.row_number().over(
                   Window.partitionBy("event_type").orderBy(F.desc("count"))))
@@ -1075,7 +1081,9 @@ def q_streaming_windowed_digest(spark, sf_dir):
     name = "stream_windowed_digest_sink"
     work = tempfile.mkdtemp(prefix="tdigest_winstream_q_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try:
         q = (digests.writeStream.format("memory").queryName(name)
              .outputMode("update")
@@ -1086,6 +1094,7 @@ def q_streaming_windowed_digest(spark, sf_dir):
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
     latest = (spark.table(name)
               .withColumn("__rn", F.row_number().over(
                   Window.partitionBy("win", "event_type")
