@@ -367,6 +367,15 @@ public final class Harness {
         Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));
     }
 
+    private static double[] rankProbes(double min, double max) {
+        double[] fr = {0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0};
+        double[] out = new double[fr.length];
+        for (int i = 0; i < fr.length; i++) {
+            out[i] = min + fr[i] * (max - min);
+        }
+        return out;
+    }
+
     private static void writeKllSummary(KllDoublesSketch sk, String outPath) throws IOException {
         StringBuilder sb = new StringBuilder();
         sb.append("{\"n\":").append(sk.getN());
@@ -382,6 +391,15 @@ public final class Harness {
             }
             first = false;
             sb.append('"').append(q).append("\":").append(fmt(sk.getQuantile(q)));
+        }
+        sb.append("},\"ranks\":{");
+        first = true;
+        for (double x : rankProbes(sk.getMinValue(), sk.getMaxValue())) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('"').append(x).append("\":").append(fmt(sk.getRank(x)));
         }
         sb.append("}}");
         Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));
@@ -403,6 +421,15 @@ public final class Harness {
             }
             first = false;
             sb.append('"').append(q).append("\":").append(fmt(sk.getQuantile(q)));
+        }
+        sb.append("},\"ranks\":{");
+        first = true;
+        for (double x : rankProbes(sk.getMinValue(), sk.getMaxValue())) {
+            if (!first) {
+                sb.append(',');
+            }
+            first = false;
+            sb.append('"').append(x).append("\":").append(fmt(sk.getRank(x)));
         }
         sb.append("}}");
         Files.write(Paths.get(outPath), sb.toString().getBytes("UTF-8"));

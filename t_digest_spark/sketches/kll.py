@@ -201,6 +201,16 @@ class KllSketch:
 
     cdf = rank
 
+    def ds_rank(self, x: float) -> float:
+        """Exact KllDoublesSketch.getRank convention: normalized weight of
+        retained items <= x (verified vs the compiled reference via the
+        java_parity harness). `rank` keeps the midpoint-at-ties convention
+        the bound contracts use."""
+        if self.n == 0:
+            return float("nan")
+        it, w = self._weighted()
+        return float(w[it <= x].sum()) / self.n
+
     def quantile(self, q: float) -> float:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"q must be in [0,1], got {q}")

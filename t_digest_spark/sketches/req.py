@@ -229,6 +229,16 @@ class ReqSketch:
 
     cdf = rank
 
+    def ds_rank(self, x: float) -> float:
+        """Exact ReqSketch.getRank convention (default ltEq=false):
+        normalized weight of retained items STRICTLY below x
+        (ReqSketch.java:247-258,369-373; verified vs the compiled
+        reference)."""
+        if self.n == 0:
+            return float("nan")
+        it, w = self._weighted()
+        return float(w[it < x].sum()) / self.n
+
     def quantile(self, q: float) -> float:
         """Exact ReqAuxiliary.getQuantile(normRank, ltEq=false) convention
         (ReqAuxiliary.java:142-161, ReqSketch.java:85): sorted items with

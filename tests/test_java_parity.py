@@ -175,6 +175,8 @@ def test_kll_java_image_read_by_python(name):
     assert s.num_retained == summary["num_retained"]
     assert s.min == _num(summary["min"]) and s.max == _num(summary["max"])
     _assert_quantiles(s, summary, REL_F64)
+    for k, v in summary["ranks"].items():     # getRank: weight(items<=x)/n
+        assert s.ds_rank(float(k)) == pytest.approx(_num(v), abs=1e-15)
 
 
 @pytest.mark.parametrize("name", list(DATASETS))
@@ -187,6 +189,8 @@ def test_kll_python_image_read_by_java(name):
     summary = _load(f"kll_{name}_py.json")
     assert summary["n"] == s.n and summary["num_retained"] == s.num_retained
     _assert_quantiles(s, summary, REL_F64)
+    for k, v in summary["ranks"].items():
+        assert s.ds_rank(float(k)) == pytest.approx(_num(v), abs=1e-15)
 
 
 # ------------------------------------------------- REQ (DataSketches binary)
@@ -210,6 +214,8 @@ def test_req_python_image_read_by_java(fmt):
     assert summary["n"] == s.n and summary["num_retained"] == s.num_retained
     assert summary["hra"] is True
     _assert_quantiles(s, summary, REL_F64)
+    for k, v in summary["ranks"].items():     # getRank (LT): weight(items<x)/n
+        assert s.ds_rank(float(k)) == pytest.approx(_num(v), abs=1e-15)
 
 
 # ------------------------------------------------------------ scale functions
