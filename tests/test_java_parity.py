@@ -290,6 +290,21 @@ def test_req_estimation_reader_on_foreign_layout_variant():
         assert variant.quantile(q) == base.quantile(q)
 
 
+def test_merge_algebra_byte_identical_to_reference():
+    """The distributed story's core operation: merging two digest states.
+    Python merge_all over the Java-dumped part states produces a digest
+    BYTE-IDENTICAL to the reference's own bulk merge
+    (MergingDigest.add(List), MergingDigest.java:314-357) — same centroid
+    means, weights, and serialized image."""
+    d1 = TDigest.from_bytes((FIXDIR / "merge_part1.bin").read_bytes())
+    d2 = TDigest.from_bytes((FIXDIR / "merge_part2.bin").read_bytes())
+    merged = TDigest.merge_all([d1, d2], delta=100.0)
+    assert merged.to_bytes() == (FIXDIR / "merge_result.bin").read_bytes()
+    summary = _load("merge_result.json")
+    assert merged.count == _num(summary["count"])
+    _assert_quantiles(merged, summary, REL_F64)
+
+
 # ---------------------------------------------------- Comparison + Dist oracle
 
 def test_comparison_and_dist_java_vectors():
