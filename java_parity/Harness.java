@@ -126,36 +126,33 @@ public final class Harness {
                 break;
             }
             case "merging-merge": {
-                // args: compression in1.doubles in2.doubles outParts1.bin
-                //       outParts2.bin outMerged.bin out.json
-                // Builds two digests, dumps their states, then merges them
-                // with the reference's bulk path (MergingDigest.add(List)).
-                MergingDigest d1 = new MergingDigest(Double.parseDouble(args[1]));
-                MergingDigest d2 = new MergingDigest(Double.parseDouble(args[1]));
-                for (double v : readDoubles(args[2])) {
-                    d1.add(v);
-                }
-                for (double v : readDoubles(args[3])) {
-                    d2.add(v);
-                }
-                d1.compress();
-                d2.compress();
-                ByteBuffer b1 = ByteBuffer.allocate(d1.byteSize());
-                d1.asBytes(b1);
-                Files.write(Paths.get(args[4]), sliceToArray(b1));
-                ByteBuffer b2 = ByteBuffer.allocate(d2.byteSize());
-                d2.asBytes(b2);
-                Files.write(Paths.get(args[5]), sliceToArray(b2));
-                MergingDigest merged = new MergingDigest(Double.parseDouble(args[1]));
+                // args: compression outPrefix in1.doubles [in2.doubles ...]
+                // Builds one digest per input file, dumps every part state
+                // (<prefix>_partI.bin), then merges them all with the
+                // reference's bulk path (MergingDigest.add(List)) ->
+                // <prefix>_result.bin / .json. N parts = the MegaMerge shape.
+                double compression = Double.parseDouble(args[1]);
+                String prefix = args[2];
                 java.util.List<TDigest> parts = new java.util.ArrayList<>();
-                parts.add(d1);
-                parts.add(d2);
+                for (int a = 3; a < args.length; a++) {
+                    MergingDigest d = new MergingDigest(compression);
+                    for (double v : readDoubles(args[a])) {
+                        d.add(v);
+                    }
+                    d.compress();
+                    ByteBuffer pb = ByteBuffer.allocate(d.byteSize());
+                    d.asBytes(pb);
+                    Files.write(Paths.get(prefix + "_part" + (a - 3) + ".bin"),
+                            sliceToArray(pb));
+                    parts.add(d);
+                }
+                MergingDigest merged = new MergingDigest(compression);
                 merged.add(parts);
                 merged.compress();
                 ByteBuffer bm = ByteBuffer.allocate(merged.byteSize());
                 merged.asBytes(bm);
-                Files.write(Paths.get(args[6]), sliceToArray(bm));
-                writeSummary(merged, args[7], null);
+                Files.write(Paths.get(prefix + "_result.bin"), sliceToArray(bm));
+                writeSummary(merged, prefix + "_result.json", null);
                 break;
             }
             case "fhisto-build": {

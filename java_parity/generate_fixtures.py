@@ -158,13 +158,13 @@ def main():
 
     # ---- Merge algebra: the reference's bulk merge (MergingDigest.add(List))
     # over two digests, with both part states and the merged state dumped.
-    m1 = TMP / "mm1.doubles"
-    m2 = TMP / "mm2.doubles"
-    np.random.default_rng(42).gamma(2.0, 3.0, 50_000).astype("<f8").tofile(m1)
-    np.random.default_rng(9).gamma(2.2, 2.8, 40_000).astype("<f8").tofile(m2)
-    jrun("merging-merge", "100", str(m1), str(m2),
-         str(FIXDIR / "merge_part1.bin"), str(FIXDIR / "merge_part2.bin"),
-         str(FIXDIR / "merge_result.bin"), str(FIXDIR / "merge_result.json"))
+    merge_inputs = []
+    for i in range(10):                      # 10 parts = MegaMerge shape
+        f = TMP / f"mm{i}.doubles"
+        np.random.default_rng(100 + i).gamma(
+            2.0 + 0.05 * i, 3.0, 20_000 + 1000 * i).astype("<f8").tofile(f)
+        merge_inputs.append(str(f))
+    jrun("merging-merge", "100", str(FIXDIR / "merge"), *merge_inputs)
 
     # ---- Comparison (chi2/ks/llr) + Dist oracle vectors; the harness also
     # dumps both digest states so Python compares on identical centroids.
