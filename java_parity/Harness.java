@@ -155,6 +155,31 @@ public final class Harness {
                 writeSummary(merged, prefix + "_result.json", null);
                 break;
             }
+            case "avl-merge": {
+                // args: compression outPrefix in1.doubles [in2.doubles ...]
+                // Per-part AVL digests dumped, then merged with the
+                // reference's add(List) re-clustering path.
+                double c = Double.parseDouble(args[1]);
+                String pfx = args[2];
+                java.util.List<TDigest> ps = new java.util.ArrayList<>();
+                for (int a = 3; a < args.length; a++) {
+                    AVLTreeDigest d = new AVLTreeDigest(c);
+                    for (double v : readDoubles(args[a])) {
+                        d.add(v);
+                    }
+                    d.compress();
+                    ByteBuffer pb = ByteBuffer.allocate(d.byteSize());
+                    d.asBytes(pb);
+                    Files.write(Paths.get(pfx + "_part" + (a - 3) + ".bin"),
+                            sliceToArray(pb));
+                    ps.add(d);
+                }
+                AVLTreeDigest merged = new AVLTreeDigest(c);
+                merged.add(ps);
+                merged.compress();
+                writeSummary(merged, pfx + "_result.json", null);
+                break;
+            }
             case "fhisto-build": {
                 // args: min max binsPerDecade in.doubles out.oos out.json
                 com.tdunning.math.stats.FloatHistogram h =

@@ -165,6 +165,7 @@ def main():
             2.0 + 0.05 * i, 3.0, 20_000 + 1000 * i).astype("<f8").tofile(f)
         merge_inputs.append(str(f))
     jrun("merging-merge", "100", str(FIXDIR / "merge"), *merge_inputs)
+    jrun("avl-merge", "100", str(FIXDIR / "avl_merge"), *merge_inputs[:5])
 
     # ---- Comparison (chi2/ks/llr) + Dist oracle vectors; the harness also
     # dumps both digest states so Python compares on identical centroids.

@@ -313,6 +313,22 @@ def test_merge_algebra_matches_reference_bulk_merge():
     _assert_quantiles(merged, summary, 1e-12)
 
 
+def test_avl_merge_rank_agreement_with_reference():
+    """AVL merge path: the reference re-clusters every centroid through its
+    stochastic add() (unseeded Random tie-breaks), so the contract is
+    rank-level: our merge of the same 5 Java-dumped part states must place
+    every Java merged quantile within 1% rank."""
+    parts = [AVLTreeDigest.from_bytes(
+        (FIXDIR / f"avl_merge_part{i}.bin").read_bytes()) for i in range(5)]
+    merged = AVLTreeDigest(delta=100.0).merge(parts)
+    summary = _load("avl_merge_result.json")
+    assert merged.count == _num(summary["count"])
+    for k, v in summary["quantiles"].items():
+        q, jv = float(k), _num(v)
+        assert abs(merged.cdf(jv) - q) < 0.011, \
+            f"q={q}: java={jv} our cdf={merged.cdf(jv)}"
+
+
 # ---------------------------------------------------- Comparison + Dist oracle
 
 def test_comparison_and_dist_java_vectors():
