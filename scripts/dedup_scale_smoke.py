@@ -53,8 +53,8 @@ def make_docs(spark, n: int):
                 texts.append(" ".join(words))
             yield pd.DataFrame({"doc_id": ids, "text": texts})
 
-    ids = spark.range(n).union(spark.range(n, n + N_DUPS))
-    return ids.repartition(32).mapInPandas(gen, "doc_id long, text string")
+    return (spark.range(n + N_DUPS).repartition(32)
+            .mapInPandas(gen, "doc_id long, text string"))
 
 
 def main():

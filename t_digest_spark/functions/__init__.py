@@ -159,67 +159,63 @@ def register_sql_aggregate(spark, delta: float = 100.0, scale: str = "k2",
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="key string, means array<double>, weights array<double>, "
-                     "dmin double, dmax double, count double")
-    class TDigestBuildUDTF:
-        def __init__(self):
-            from t_digest_spark.core import TDigest
-            self._digest = TDigest(delta=delta, scale=scale)
-            self._buf = []
-            self._key = None
+    def _build_udtf(return_type, make_acc, fold, emit):
+        """Shared PARTITION BY accumulator skeleton: chunked folds keep
+        per-group memory O(chunk + sketch), the group key is captured from
+        any row, and a partition whose values are all NULL still yields its
+        group row (SQL GROUP BY semantics) via emit's empty case."""
 
-        def eval(self, row):
-            if row.key is not None:
-                self._key = row.key
-            x = row.x
-            if x is not None:
-                self._buf.append(float(x))
-                if len(self._buf) >= chunk:
-                    self._digest.add_values(np.asarray(self._buf))
+        @udtf(returnType=return_type)
+        class BuildUDTF:
+            def __init__(self):
+                self._acc = make_acc()
+                self._buf = []
+                self._key = None
+
+            def eval(self, row):
+                if row.key is not None:
+                    self._key = row.key
+                x = row.x
+                if x is not None:
+                    self._buf.append(float(x))
+                    if len(self._buf) >= chunk:
+                        fold(self._acc, np.asarray(self._buf))
+                        self._buf.clear()
+
+            def terminate(self):
+                if self._buf:
+                    fold(self._acc, np.asarray(self._buf))
                     self._buf.clear()
+                yield emit(self._key, self._acc)
 
-        def terminate(self):
-            if self._buf:
-                self._digest.add_values(np.asarray(self._buf))
-                self._buf.clear()
-            d = self._digest
-            if d.count == 0:
-                # keep SQL GROUP BY semantics: a partition whose values are
-                # all NULL still yields its group row (empty digest), rather
-                # than silently vanishing from downstream joins
-                yield (self._key, [], [], float("nan"), float("nan"), 0.0)
-                return
-            d.compress()
-            yield (self._key, [float(v) for v in d.means],
-                   [float(v) for v in d.weights],
-                   float(d.min), float(d.max), float(d.count))
+        return BuildUDTF
 
-    spark.udtf.register("tdigest_build", TDigestBuildUDTF)
+    def _make_digest():
+        from t_digest_spark.core import TDigest
+        return TDigest(delta=delta, scale=scale)
 
-    @udtf(returnType="key string, items array<double>, offsets array<int>, "
-                     "kmin double, kmax double, count double")
-    class KllBuildUDTF:
-        def __init__(self):
-            from t_digest_spark.sketches.kll import KllSketch
-            self._sk = KllSketch()
-            self._buf = []
-            self._key = None
+    def _emit_digest(key, d):
+        if d.count == 0:
+            return (key, [], [], float("nan"), float("nan"), 0.0)
+        d.compress()
+        return (key, [float(v) for v in d.means],
+                [float(v) for v in d.weights],
+                float(d.min), float(d.max), float(d.count))
 
-        def eval(self, row):
-            if row.key is not None:
-                self._key = row.key
-            x = row.x
-            if x is not None:
-                self._buf.append(float(x))
-                if len(self._buf) >= chunk:
-                    self._sk.update_values(np.asarray(self._buf))
-                    self._buf.clear()
+    spark.udtf.register("tdigest_build", _build_udtf(
+        "key string, means array<double>, weights array<double>, "
+        "dmin double, dmax double, count double",
+        _make_digest, lambda d, v: d.add_values(v), _emit_digest))
 
-        def terminate(self):
-            if self._buf:
-                self._sk.update_values(np.asarray(self._buf))
-                self._buf.clear()
-            items, offs, mn, mx, n = self._sk.to_row()
-            yield (self._key, items, offs, mn, mx, n)
+    def _make_kll():
+        from t_digest_spark.sketches.kll import KllSketch
+        return KllSketch()
 
-    spark.udtf.register("kll_build", KllBuildUDTF)
+    def _emit_kll(key, sk):
+        items, offs, mn, mx, n = sk.to_row()
+        return (key, items, offs, mn, mx, n)
+
+    spark.udtf.register("kll_build", _build_udtf(
+        "key string, items array<double>, offsets array<int>, "
+        "kmin double, kmax double, count double",
+        _make_kll, lambda sk, v: sk.update_values(v), _emit_kll))

@@ -300,8 +300,16 @@ def float_histogram_to_bytes(spec: "HistogramSpec", counts) -> bytes:
     if spec.kind != "float_repr":
         raise ValueError("wire serde is defined for float_repr histograms")
     words = simple64.compress([int(c) for c in counts])
+    nbytes = 8 * len(words)
+    if nbytes > 32767:
+        # the Java format's length field is a signed short (writeShort,
+        # FloatHistogram.java:106) — Java silently truncates past this,
+        # we refuse
+        raise ValueError(
+            f"compressed counts ({nbytes} bytes) exceed the wire format's "
+            "signed-short length field (32767)")
     return (struct.pack(">ddbbh", spec.lo, spec.hi, spec.bits,
-                        52 - spec.bits, 8 * len(words))
+                        52 - spec.bits, nbytes)
             + struct.pack(f">{len(words)}Q", *words))
 
 
@@ -319,8 +327,20 @@ def float_histogram_from_bytes(raw: bytes):
     from t_digest_spark import simple64
 
     lo, hi, bits, _shift, nbytes = struct.unpack_from(">ddbbh", raw, 0)
-    # a bins_per_decade that reproduces exactly these precision bits
-    bpd = (1 << bits) / _math.log10(2)
+    if nbytes < 0:
+        raise ValueError(
+            "negative payload length: the stream was written by a Java "
+            "histogram whose compressed counts overflowed the signed-short "
+            "length field (writeShort truncation)")
+    if len(raw) < 20 + nbytes:
+        raise ValueError(
+            f"truncated Simple64 stream: payload declares {nbytes} bytes, "
+            f"buffer has {len(raw) - 20}")
+    # a bins_per_decade that reproduces exactly these precision bits; the
+    # derived 2^bits/log10(2) can exceed Java's own <=10000 input cap by up
+    # to 2x (ceil), so clamp — binsPerDecade=10000 still yields bits=12,
+    # the maximum any valid reference stream carries
+    bpd = min((1 << bits) / _math.log10(2), 10000.0)
     spec = HistogramSpec(lo, hi, kind="float_repr", bins_per_decade=bpd)
     if spec.bits != bits:
         raise ValueError(f"cannot reconstruct precision {bits}")

@@ -111,7 +111,12 @@ def decompress(words: Sequence[int], n_values: int) -> List[int]:
     out: List[int] = []
     it = iter(words)
     while len(out) < n_values:
-        word = int(next(it)) & 0xFFFFFFFFFFFFFFFF
+        nxt = next(it, None)
+        if nxt is None:
+            raise ValueError(
+                f"truncated Simple64 stream: needed {n_values} values, "
+                f"got {len(out)}")
+        word = int(nxt) & 0xFFFFFFFFFFFFFFFF
         sel = word & 0xF
         if sel not in _SELECTOR:
             raise ValueError(f"Unknown Simple9 status: {sel}")

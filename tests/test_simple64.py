@@ -86,3 +86,41 @@ def test_float_histogram_wire_parity():
     idx = np.where(vals <= spec.lo, 0,
                    np.where(vals >= spec.hi, spec.n_bins - 1, idx))
     assert np.bincount(idx, minlength=spec.n_bins).tolist() == jsum["counts"]
+
+
+def test_float_histogram_bits12_stream_accepted():
+    """Java legally emits bitsOfPrecision=12 for binsPerDecade in
+    (6803, 10000]; the reconstructed bins_per_decade must clamp to Java's
+    own <=10000 input cap instead of rejecting the stream (round-3 review
+    fix)."""
+    import struct
+
+    from t_digest_spark.operators.histogram import (
+        HistogramSpec, float_histogram_from_bytes, float_histogram_to_bytes)
+
+    spec = HistogramSpec(1.0, 4.0, kind="float_repr", bins_per_decade=10000)
+    assert spec.bits == 12
+    counts = list(range(spec.n_bins))
+    raw = float_histogram_to_bytes(spec, counts)
+    spec2, counts2 = float_histogram_from_bytes(raw)
+    assert spec2.bits == 12 and spec2.n_bins == spec.n_bins
+    assert counts2 == counts
+
+    # truncated payload -> explicit error, not StopIteration
+    with pytest.raises(ValueError, match="truncated Simple64 stream"):
+        float_histogram_from_bytes(raw[:-8])
+
+    # negative short length (Java writeShort overflow) -> explicit error
+    bad = bytearray(raw)
+    struct.pack_into(">h", bad, 18, -12)
+    with pytest.raises(ValueError, match="negative payload length"):
+        float_histogram_from_bytes(bytes(bad))
+
+
+def test_compress_bytes_length_guard():
+    from t_digest_spark.operators.histogram import (HistogramSpec,
+                                                    float_histogram_to_bytes)
+    spec = HistogramSpec(1.0, 4.0, kind="float_repr", bins_per_decade=10000)
+    big = [1 << 55] * spec.n_bins            # 1 word per value > 32767 bytes
+    with pytest.raises(ValueError, match="signed-short length field"):
+        float_histogram_to_bytes(spec, big)
