@@ -481,20 +481,34 @@ def q_tdigest_price_quantiles(spark, sf_dir):
     reference's accuracy envelope (AccuracyTest.java:137-149 merge bound;
     r1 measured rank errors p50 5e-4, p99 5e-5) with wide safety margins."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    dig = tdigest_aggregate(li, "l_extendedprice", ["l_returnflag"])
-    est = _materialize_small(spark, dig.select(
-        "l_returnflag",
-        quantile_udf(0.5)(*_D).alias("e50"),
-        quantile_udf(0.99)(*_D).alias("e99"),
-        quantile_udf(0.999)(*_D).alias("e999"),
-        trimmed_mean_udf(0.25, 0.75)(*_D).alias("eiq"),
-        cdf_udf(30000.0)(*_D).alias("ecdf")))
+    # 3 digest rows, collected once: feed BOTH the estimate columns and the
+    # quartile-bracket refinement. Estimates are computed DRIVER-SIDE from
+    # the collected rows — a pandas-UDF pass over 3 local rows costs a full
+    # Python-worker round trip (~0.5s) for zero distribution benefit.
+    from t_digest_spark.serde import digest_from_cells
+    dig_rows = tdigest_aggregate(
+        li, "l_extendedprice",
+        ["l_returnflag"]).collect()  # group-count digest rows (3)
+    est_rows = []
+    for r in dig_rows:
+        d = digest_from_cells(r["means"], r["weights"], r["dmin"], r["dmax"],
+                              100.0, "k2")
+        est_rows.append((r["l_returnflag"], float(d.quantile(0.5)),
+                         float(d.quantile(0.99)), float(d.quantile(0.999)),
+                         float(d.trimmed_mean(0.25, 0.75)),
+                         float(d.cdf(30000.0))))
+    est = spark.createDataFrame(
+        est_rows, "l_returnflag string, e50 double, e99 double, "
+                  "e999 double, eiq double, ecdf double")
     x = F.col("l_extendedprice")
     n = F.count(F.lit(1))
-    # one pass computes every midrank AND the exact quartile cuts (the
-    # percentile aggregate needs no join columns — fused to save a scan);
-    # `ranks` feeds both the iq pass and the final select, so it is
-    # materialized (3 rows) rather than re-executed
+    # one codegen pass computes every midrank; the exact quartile cuts come
+    # from digest-bracketed slice refinement (operators/refine.py) instead of
+    # a full exact percentile — mixing that TypedImperativeAggregate into
+    # this agg would (a) demote the whole pass to interpreted
+    # ObjectHashAggregate and (b) buffer + shuffle 100% of the column into 3
+    # reducers at scale. `ranks` feeds both the iq pass and the final
+    # select, so it is materialized (3 rows) rather than re-executed
     ranks = (li.join(F.broadcast(est), "l_returnflag")
              .groupBy("l_returnflag")
              .agg(n.cast("long").alias("n_rows"),
@@ -505,10 +519,16 @@ def q_tdigest_price_quantiles(spark, sf_dir):
                     + F.sum((x <= 30000.0).cast("long"))).cast("double")
                    / (F.lit(2.0) * n)).alias("r30k"),
                   F.first("eiq").alias("eiq"),
-                  F.first("ecdf").alias("ecdf"),
-                  F.expr("percentile(l_extendedprice, 0.25)").alias("x25"),
-                  F.expr("percentile(l_extendedprice, 0.75)").alias("x75")))
+                  F.first("ecdf").alias("ecdf")))
     ranks = _materialize_small(spark, ranks)
+    from t_digest_spark.operators.refine import refined_exact_quantiles
+    cuts = refined_exact_quantiles(spark, li, "l_extendedprice",
+                                   "l_returnflag", dig_rows, qs=(0.25, 0.75))
+    cuts_df = F.broadcast(spark.createDataFrame(
+        [(g, cuts[(g, 0.25)], cuts[(g, 0.75)])
+         for g in sorted({g for g, _ in cuts})],
+        "l_returnflag string, x25 double, x75 double"))
+    ranks = ranks.join(cuts_df, "l_returnflag")
     iq = (li.join(F.broadcast(ranks.select("l_returnflag", "x25", "x75")),
                   "l_returnflag")
           .where((x >= F.col("x25")) & (x <= F.col("x75")))
@@ -808,6 +828,31 @@ def q_dedup_pipeline(spark, sf_dir):
     return planted.agg(
         F.countDistinct("id_a").cast("long").alias("n_planted_verified"),
         (F.countDistinct("id_a") == 50).alias("all_planted_verified"))
+
+
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering: connected components (large-star /
+    small-star contraction, operators/components.py) over a deterministic
+    pair graph on documents — chains of 8 consecutive doc_ids bridged in
+    pairs, so every 16-id block is ONE component with diameter ~15. The
+    oracle is the closed form component = doc_id - doc_id % 16, which the
+    iterative Spark algorithm must reproduce exactly (value-hash compared):
+    per-component size, min-id survivor, exactly one survivor."""
+    from t_digest_spark.operators.components import dedup_survivors
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    chain = docs.where((d % 8 != 7) & (d + 1 < n)).select(
+        d.alias("id_a"), (d + 1).alias("id_b"))
+    bridge = docs.where((d % 16 == 0) & (d + 8 < n)).select(
+        d.alias("id_a"), (d + 8).alias("id_b"))
+    surv = dedup_survivors(chain.unionByName(bridge), vertices=docs)
+    return (surv.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("size"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.sum(F.col("is_survivor").cast("long")).alias("n_survivors"),
+                 F.min(F.when(F.col("is_survivor"), F.col("doc_id")))
+                 .alias("survivor_id")))
 
 
 def q_digest_compare_flags(spark, sf_dir):
@@ -1177,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_clones": q_ivf_topk_clones,
         "fingerprint_docs": q_fingerprint_docs,
         "dedup_pipeline": q_dedup_pipeline,
+        "dedup_components": q_dedup_components,
         "digest_compare_flags": q_digest_compare_flags,
         "kll_events_quantiles": q_kll_events_quantiles,
         "req_tail_quantiles": q_req_tail_quantiles,
@@ -1591,6 +1637,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": """
             SELECT count(*) AS n_planted_verified, true AS all_planted_verified
             FROM documents WHERE doc_id < 50
+        """,
+        "dedup_components": """
+            SELECT doc_id - (doc_id % 16) AS component,
+                   count(*) AS size,
+                   min(doc_id) AS min_doc,
+                   CAST(1 AS BIGINT) AS n_survivors,
+                   min(doc_id) AS survivor_id
+            FROM documents
+            GROUP BY doc_id - (doc_id % 16)
         """,
         "digest_compare_flags": """
             SELECT l_returnflag, count(*) AS n_rows,
