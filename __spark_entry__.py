@@ -488,7 +488,7 @@ def q_tdigest_price_quantiles(spark, sf_dir):
     from t_digest_spark.serde import digest_from_cells
     dig_rows = tdigest_aggregate(
         li, "l_extendedprice",
-        ["l_returnflag"]).collect()  # group-count digest rows (3)
+        ["l_returnflag"]).collect()  # group-count digest rows
     est_rows = []
     for r in dig_rows:
         d = digest_from_cells(r["means"], r["weights"], r["dmin"], r["dmax"],
@@ -593,10 +593,17 @@ def q_source_table_quantiles(spark, sf_dir):
     n = 20_000 if "0.001" in sf_dir else 100_000
     code = source_code_table(spark, n, partitions=8).select(
         "lang", F.length("content").cast("double").alias("x"))
-    dig = tdigest_aggregate(code, "x", ["lang"])
-    est = dig.select("lang", F.col("count").alias("n_files"),
-                     quantile_udf(0.5)(*_D).alias("e50"),
-                     quantile_udf(0.99)(*_D).alias("e99"))
+    # estimates driver-side from the 6 collected digest rows (same pattern
+    # as the flagship query: no pandas-UDF round trip over local rows)
+    from t_digest_spark.serde import digest_from_cells
+    est_rows = []
+    for r in tdigest_aggregate(code, "x", ["lang"]).collect():  # group-count digest rows
+        d = digest_from_cells(r["means"], r["weights"], r["dmin"], r["dmax"],
+                              100.0, "k2")
+        est_rows.append((r["lang"], int(r["count"]), float(d.quantile(0.5)),
+                         float(d.quantile(0.99))))
+    est = spark.createDataFrame(
+        est_rows, "lang string, n_files long, e50 double, e99 double")
     x = F.col("x")
     cnt = F.count(F.lit(1))
     per_lang = (code.join(F.broadcast(est), "lang")

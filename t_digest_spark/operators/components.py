@@ -44,25 +44,33 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Re-point every strictly-larger neighbor of u at min(Γ(u) ∪ {u})."""
+    """Re-point every strictly-larger neighbor of u at min(Γ(u) ∪ {u}).
+
+    One explicit hash partitioning on u; the groupBy-min and the join back
+    both run co-partitioned on it (the identical repartition subplan is
+    exchange-reused), so the whole star costs a single shuffle. Output may
+    carry duplicate edges — the downstream small-star groupBy-min is
+    insensitive to multiplicity and its output distinct() canonicalizes, so
+    a distinct here would only add an exchange per round."""
     sym = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
            .unionByName(e.select(F.col("dst").alias("u"),
-                                 F.col("src").alias("v"))))
+                                 F.col("src").alias("v")))
+           .repartition("u"))
     m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
          .select("u", F.least("u", "mv").alias("m")))
-    # join back on u: same shuffle key as the groupBy, co-partitioned
     return (sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
-            .distinct())
+            .where(F.col("src") != F.col("dst")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Direct each edge large→small; re-point the small side (and u) at the
-    neighborhood min."""
-    d = e.select(F.greatest("src", "dst").alias("u"),
-                 F.least("src", "dst").alias("v"))
+    neighborhood min. Same one-partitioning structure as the large star;
+    the closing distinct() (one exchange) canonicalizes the round's output."""
+    d = (e.select(F.greatest("src", "dst").alias("u"),
+                  F.least("src", "dst").alias("v"))
+         .repartition("u"))
     m = d.groupBy("u").agg(F.min("v").alias("m"))
     nb = d.join(m, "u")
     out = (nb.select(F.col("v").alias("src"), F.col("m").alias("dst"))

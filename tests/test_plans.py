@@ -149,7 +149,7 @@ def test_no_driver_side_data_materialization_in_queries():
         "driver-side toPandas() found in __spark_entry__.py gate queries"
     allowed_collect_markers = ("F.max(\"count\")).collect()[0][0]",
                                "spark.createDataFrame(df.collect(), df.schema)",
-                               "# group-count digest rows (3)")
+                               "# group-count digest rows")
     lines = [ln for ln in src.splitlines() if ".collect()" in ln]
     for ln in lines:
         assert any(m in ln for m in allowed_collect_markers), \
