@@ -365,3 +365,322 @@ def req_quantile_udf(q: float, k: int = 12, hra: bool = True):
             ReqSketch.from_row(i, o, st, lo, hi, n, k=k, hra=hra).quantile(q)
             for i, o, st, lo, hi, n in zip(items, offsets, states, rmin, rmax, count)])
     return _q
+
+
+# ---------------------------------------------------------------------- theta
+
+THETA_FIELDS = "retained array<bigint>, theta bigint, k int"
+
+
+def theta_aggregate(df: DataFrame, key_col: str,
+                    group_cols: Optional[Sequence[str]] = None,
+                    k: int = 4096) -> DataFrame:
+    """One theta (bottom-k) distinct sketch per group.
+
+    Keys hash JVM-side (``shiftrightunsigned(xxhash64(key), 1)`` — codegen,
+    uniform over [0, 2^63)); partitions contribute <= k+1 longs each to the
+    final merge, so the shuffle is O(partitions * k) no matter the row
+    count. Unlike HLL, the result supports intersection / A-not-B
+    (theta_binary_op)."""
+    from t_digest_spark.sketches.theta import ThetaSketch
+    group_cols = list(group_cols or [])
+    proj = (df.where(F.col(key_col).isNotNull())
+              .select(*group_cols,
+                      F.shiftrightunsigned(F.xxhash64(key_col), 1)
+                      .alias("__h__")))
+    schema = _group_prefix(proj, group_cols) + THETA_FIELDS
+    out_cols = ["retained", "theta", "k"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk, keys = {}, {}
+        for pdf in batches:
+            hs = pdf["__h__"].to_numpy(dtype=np.int64)
+            if group_cols:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[group_cols])
+                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                for gi in range(len(uniques)):
+                    key = uniques[gi]
+                    s = sk.get(key)
+                    if s is None:
+                        s = sk[key] = ThetaSketch(k)
+                        keys[key] = key if len(group_cols) > 1 else (key,)
+                    s.update_hashes(hs[codes == gi])
+            else:
+                s = sk.get(_GLOBAL)
+                if s is None:
+                    s = sk[_GLOBAL] = ThetaSketch(k)
+                    keys[_GLOBAL] = ()
+                s.update_hashes(hs)
+        if sk:
+            yield pd.DataFrame([tuple(keys[key]) + s.to_row()
+                                for key, s in sk.items()],
+                               columns=group_cols + out_cols)
+
+    partials = proj.mapInPandas(build, schema)
+
+    gb = list(group_cols)
+    added = False
+    if not gb:
+        partials = partials.withColumn(_GLOBAL, F.lit(1))
+        gb = [_GLOBAL]
+        added = True
+    out_schema = _group_prefix(partials, gb) + THETA_FIELDS
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [ThetaSketch.from_row(r["retained"], r["theta"], r["k"])
+                 for _, r in pdf.iterrows()]
+        s = ThetaSketch.union_all(parts, k=k)
+        head = tuple(pdf[c].iloc[0] for c in gb)
+        return pd.DataFrame([head + s.to_row()], columns=gb + out_cols)
+
+    out = partials.groupBy(*gb).applyInPandas(merge_fn, out_schema)
+    return out.drop(_GLOBAL) if added else out
+
+
+def theta_estimate_udf():
+    from t_digest_spark.sketches.theta import ThetaSketch
+
+    @pandas_udf("double")
+    def _est(retained: pd.Series, theta: pd.Series, k: pd.Series) -> pd.Series:
+        return pd.Series([
+            ThetaSketch.from_row(r, t, kk).estimate()
+            for r, t, kk in zip(retained, theta, k)])
+    return _est
+
+
+def theta_bounds_udf(num_std: float = 3.0):
+    """(lower, upper) confidence bounds per sketch row."""
+    from t_digest_spark.sketches.theta import ThetaSketch
+
+    @pandas_udf("struct<lb: double, ub: double>")
+    def _b(retained: pd.Series, theta: pd.Series, k: pd.Series) -> pd.DataFrame:
+        rows = []
+        for r, t, kk in zip(retained, theta, k):
+            s = ThetaSketch.from_row(r, t, kk)
+            rows.append((s.lower_bound(num_std), s.upper_bound(num_std)))
+        return pd.DataFrame(rows, columns=["lb", "ub"])
+    return _b
+
+
+def theta_binary_op(a_df: DataFrame, b_df: DataFrame, op: str,
+                    join_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Set algebra between two sketch DataFrames: ``union`` /
+    ``intersect`` / ``a_not_b``. Sketch rows are tiny (<= k longs), so the
+    join is a broadcast-scale equi-join on the group key (or a single-row
+    cross for global sketches); the op itself is a vectorized batch UDF.
+    Result columns are again ``retained, theta, k`` — composable."""
+    from t_digest_spark.sketches.theta import ThetaSketch
+    ops = {"union": lambda a, b: ThetaSketch.union_all([a, b], k=max(a.k, b.k)),
+           "intersect": ThetaSketch.intersect, "a_not_b": ThetaSketch.a_not_b}
+    if op not in ops:
+        raise ValueError(f"op must be one of {sorted(ops)}")
+    fn = ops[op]
+    join_cols = list(join_cols or [])
+    b_ren = b_df.select(
+        *join_cols, F.col("retained").alias("__rb__"),
+        F.col("theta").alias("__tb__"), F.col("k").alias("__kb__"))
+    joined = (a_df.join(F.broadcast(b_ren), join_cols) if join_cols
+              else a_df.crossJoin(F.broadcast(b_ren)))
+
+    @pandas_udf(f"struct<{THETA_FIELDS}>")
+    def _op(ra: pd.Series, ta: pd.Series, ka: pd.Series,
+            rb: pd.Series, tb: pd.Series, kb: pd.Series) -> pd.DataFrame:
+        rows = [fn(ThetaSketch.from_row(r1, t1, k1),
+                   ThetaSketch.from_row(r2, t2, k2)).to_row()
+                for r1, t1, k1, r2, t2, k2 in zip(ra, ta, ka, rb, tb, kb)]
+        return pd.DataFrame(rows, columns=["retained", "theta", "k"])
+
+    res = joined.withColumn(
+        "__res__", _op("retained", "theta", "k", "__rb__", "__tb__", "__kb__"))
+    return res.select(*join_cols, F.col("__res__.retained").alias("retained"),
+                      F.col("__res__.theta").alias("theta"),
+                      F.col("__res__.k").alias("k"))
+
+
+# ------------------------------------------------------------- frequent items
+
+FI_FIELDS = ("keys array<string>, counts array<long>, max_error bigint, "
+             "n bigint, k int")
+
+
+def frequent_aggregate(df: DataFrame, key_col: str,
+                       group_cols: Optional[Sequence[str]] = None,
+                       k: int = 512,
+                       weight_col: Optional[str] = None) -> DataFrame:
+    """One Misra-Gries heavy-hitters sketch per group over
+    ``cast(key as string)``. Guarantees (frequent.py): estimate <= true <=
+    estimate + max_error, max_error <= n/(k+1). Partial rows carry <= k
+    counters each — the shuffle never sees raw keys' full cardinality."""
+    from t_digest_spark.sketches.frequent import FrequentItemsSketch
+    group_cols = list(group_cols or [])
+    cols = [F.col(key_col).cast("string").alias("__key__")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("long").alias("__w__"))
+    proj = df.where(F.col(key_col).isNotNull()).select(*group_cols, *cols)
+    schema = _group_prefix(proj, group_cols) + FI_FIELDS
+    out_cols = ["keys", "counts", "max_error", "n", "k"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk, keys = {}, {}
+        for pdf in batches:
+            if group_cols:
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[group_cols])
+                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                for gi in range(len(uniques)):
+                    key = uniques[gi]
+                    s = sk.get(key)
+                    if s is None:
+                        s = sk[key] = FrequentItemsSketch(k)
+                        keys[key] = key if len(group_cols) > 1 else (key,)
+                    sub = pdf[codes == gi]
+                    _fi_update(s, sub, weight_col)
+            else:
+                s = sk.get(_GLOBAL)
+                if s is None:
+                    s = sk[_GLOBAL] = FrequentItemsSketch(k)
+                    keys[_GLOBAL] = ()
+                _fi_update(s, pdf, weight_col)
+        if sk:
+            yield pd.DataFrame([tuple(keys[key]) + s.to_row()
+                                for key, s in sk.items()],
+                               columns=group_cols + out_cols)
+
+    partials = proj.mapInPandas(build, schema)
+
+    gb = list(group_cols)
+    added = False
+    if not gb:
+        partials = partials.withColumn(_GLOBAL, F.lit(1))
+        gb = [_GLOBAL]
+        added = True
+    out_schema = _group_prefix(partials, gb) + FI_FIELDS
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [FrequentItemsSketch.from_row(r["keys"], r["counts"],
+                                              r["max_error"], r["n"], r["k"])
+                 for _, r in pdf.iterrows()]
+        s = FrequentItemsSketch.merge_all(parts, k=k)
+        head = tuple(pdf[c].iloc[0] for c in gb)
+        return pd.DataFrame([head + s.to_row()], columns=gb + out_cols)
+
+    out = partials.groupBy(*gb).applyInPandas(merge_fn, out_schema)
+    return out.drop(_GLOBAL) if added else out
+
+
+def _fi_update(sketch, pdf: pd.DataFrame, weight_col: Optional[str]) -> None:
+    if weight_col:
+        agg = pdf.groupby("__key__")["__w__"].sum()
+        sketch.update_counts(agg.index, agg.to_numpy())
+    else:
+        sketch.update_batch(pdf["__key__"])
+
+
+def frequent_items_explode(fi_df: DataFrame,
+                           group_cols: Optional[Sequence[str]] = None,
+                           threshold: Optional[int] = None) -> DataFrame:
+    """Explode sketch rows into (group..., item, estimate, upper_bound)
+    rows, NO_FALSE_NEGATIVES convention (frequent.py)."""
+    from t_digest_spark.sketches.frequent import FrequentItemsSketch
+    group_cols = list(group_cols or [])
+
+    @pandas_udf("array<struct<item: string, estimate: bigint, upper_bound: bigint>>")
+    def _items(keys: pd.Series, counts: pd.Series, max_error: pd.Series,
+               n: pd.Series, k: pd.Series) -> pd.Series:
+        out = []
+        for ks, cs, me, nn, kk in zip(keys, counts, max_error, n, k):
+            s = FrequentItemsSketch.from_row(ks, cs, me, nn, kk)
+            out.append([{"item": it, "estimate": est, "upper_bound": ub}
+                        for it, est, ub in s.frequent_items(threshold)])
+        return pd.Series(out)
+
+    return (fi_df
+            .select(*group_cols,
+                    F.explode(_items("keys", "counts", "max_error", "n", "k"))
+                    .alias("__it__"))
+            .select(*group_cols, F.col("__it__.item").alias("item"),
+                    F.col("__it__.estimate").alias("estimate"),
+                    F.col("__it__.upper_bound").alias("upper_bound")))
+
+
+# ------------------------------------------------- deterministic distinct sample
+
+def bottomk_distinct_sample(df: DataFrame, key_col: str,
+                            group_cols: Optional[Sequence[str]] = None,
+                            k: int = 100) -> DataFrame:
+    """Mergeable uniform sample of k DISTINCT keys per group, deterministic:
+    members are the k distinct keys with the lexicographically smallest
+    ``md5(cast(key as string))``. Because membership is a pure function of
+    the key, the sample is (a) identical run-to-run and engine-to-engine
+    (value-exact SQL oracle: ORDER BY md5 LIMIT k), (b) exactly mergeable
+    (bottom-k of a union = bottom-k of bottom-k's), and (c) uniform over
+    distinct keys (md5 is a uniform hash). Per-partition state is <= k
+    pairs, so the merge shuffle is O(partitions * k) — the full distinct
+    set is never shuffled (contrast groupBy-distinct at 10^12 keys).
+
+    Returns (group..., sample_rank, key_value) rows, rank 1..k by hash
+    order."""
+    group_cols = list(group_cols or [])
+    proj = (df.where(F.col(key_col).isNotNull())
+              .select(*group_cols,
+                      F.col(key_col).cast("string").alias("__key__"),
+                      F.md5(F.col(key_col).cast("string")).alias("__hh__")))
+    schema = _group_prefix(proj, group_cols) + "hs array<string>, ks array<string>"
+
+    def topk_local(pdf: pd.DataFrame) -> pd.DataFrame:
+        # nsmallest rejects string dtype; a sort of <= (2k + batch) rows is fine
+        return (pdf[["__hh__", "__key__"]].drop_duplicates("__hh__")
+                .sort_values("__hh__").head(k))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = {}
+        for pdf in batches:
+            if group_cols:
+                gframe = (pd.MultiIndex.from_frame(pdf[group_cols])
+                          if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = pd.factorize(gframe)
+                for gi in range(len(uniques)):
+                    key = uniques[gi]
+                    head = key if len(group_cols) > 1 else (key,)
+                    prev = acc.get(head)
+                    sub = pdf[codes == gi]
+                    cat = sub if prev is None else pd.concat([prev, sub])
+                    acc[head] = topk_local(cat)
+            else:
+                prev = acc.get(())
+                cat = pdf if prev is None else pd.concat([prev, pdf])
+                acc[()] = topk_local(cat)
+        if acc:
+            yield pd.DataFrame(
+                [head + (sub["__hh__"].tolist(), sub["__key__"].tolist())
+                 for head, sub in acc.items()],
+                columns=group_cols + ["hs", "ks"])
+
+    partials = proj.mapInPandas(build, schema)
+
+    gb = list(group_cols)
+    added = False
+    if not gb:
+        partials = partials.withColumn(_GLOBAL, F.lit(1))
+        gb = [_GLOBAL]
+        added = True
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"__hh__": r["hs"], "__key__": r["ks"]})
+                  for _, r in pdf.iterrows()]
+        sub = topk_local(pd.concat(frames))
+        head = tuple(pdf[c].iloc[0] for c in gb)
+        return pd.DataFrame([head + (sub["__hh__"].tolist(),
+                                     sub["__key__"].tolist())],
+                            columns=gb + ["hs", "ks"])
+
+    merged = partials.groupBy(*gb).applyInPandas(
+        merge_fn, _group_prefix(partials, gb) + "hs array<string>, ks array<string>")
+    if added:
+        merged = merged.drop(_GLOBAL)
+        gb = []
+    return (merged
+            .select(*gb, F.posexplode("ks").alias("__i__", "key_value"))
+            .select(*gb, (F.col("__i__") + 1).cast("long").alias("sample_rank"),
+                    "key_value"))
