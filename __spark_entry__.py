@@ -1186,6 +1186,85 @@ def q_multimodal_features(spark, sf_dir):
         .alias("dims_ok"))
 
 
+def q_theta_user_overlap(spark, sf_dir):
+    """Theta-sketch set algebra (the query HLL cannot answer): how many
+    distinct users clicked AND purchased / clicked OR purchased / clicked
+    but never purchased. Sketches are built once per event type (partials
+    carry <= k+1 longs), the three ops compose sketch rows; the in-job
+    exact counterpart (distinct/intersect/subtract) feeds 5-sigma bound
+    flags. k=4096 >> user cardinality at test SFs, so estimates are exact
+    here; the estimation regime is gated in tests/test_setops_sketches.py."""
+    from t_digest_spark.sketches.spark import (theta_aggregate,
+                                               theta_binary_op,
+                                               theta_bounds_udf)
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = theta_aggregate(
+        ev.where(F.col("event_type").isin("click", "purchase")),
+        "user_id", ["event_type"], k=4096)
+    a = sk.where("event_type = 'click'").drop("event_type")
+    b = sk.where("event_type = 'purchase'").drop("event_type")
+    bounds = theta_bounds_udf(5.0)
+    est = None
+    for op in ("union", "intersect", "a_not_b"):
+        r = (theta_binary_op(a, b, op)
+             .select(F.lit(op).alias("op"),
+                     bounds("retained", "theta", "k").alias("__b__"))
+             .select("op", F.col("__b__.lb").alias("lb"),
+                     F.col("__b__.ub").alias("ub")))
+        est = r if est is None else est.unionByName(r)
+    clicks = ev.where("event_type = 'click'").select("user_id").distinct()
+    purch = ev.where("event_type = 'purchase'").select("user_id").distinct()
+    exact = (clicks.union(purch).distinct().agg(F.count("*").alias("exact_count"))
+             .select(F.lit("union").alias("op"), "exact_count")
+             .unionByName(clicks.intersect(purch)
+                          .agg(F.count("*").alias("exact_count"))
+                          .select(F.lit("intersect").alias("op"), "exact_count"))
+             .unionByName(clicks.subtract(purch)
+                          .agg(F.count("*").alias("exact_count"))
+                          .select(F.lit("a_not_b").alias("op"), "exact_count")))
+    return (est.join(exact, "op")
+            .select("op", F.col("exact_count").cast("long").alias("exact_count"),
+                    ((F.col("lb") <= F.col("exact_count"))
+                     & (F.col("exact_count") <= F.col("ub"))).alias("theta_ok")))
+
+
+def q_frequent_tokens(spark, sf_dir):
+    """Misra-Gries heavy hitters over whitespace tokens of documents.text —
+    the 'top tokens across the corpus' pipeline query. The explode is
+    pipelined (no shuffle before the sketch); partial rows carry <= k
+    counters. Output: top-10 tokens by exact count with the MG containment
+    contract (estimate <= true <= estimate + max_error) as flags. Token
+    cardinality at test SFs is << k so estimates are exact; the estimation
+    regime is gated in tests/test_setops_sketches.py."""
+    from t_digest_spark.sketches.spark import (frequent_aggregate,
+                                               frequent_items_explode)
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    items = frequent_items_explode(frequent_aggregate(toks, "tok", k=4096))
+    top10 = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+             .orderBy(F.desc("true_count"), F.asc("tok")).limit(10)
+             .select(F.col("tok").alias("token"), "true_count"))
+    return (top10.join(F.broadcast(items),
+                       top10["token"] == items["item"], "left")
+            .select("token", "true_count",
+                    F.col("item").isNotNull().alias("captured"),
+                    ((F.col("estimate") <= F.col("true_count"))
+                     & (F.col("true_count") <= F.col("upper_bound")))
+                    .alias("bound_ok")))
+
+
+def q_bottomk_user_sample(spark, sf_dir):
+    """Deterministic mergeable distinct sample: the 7 distinct users with
+    the smallest md5(user_id) per event type. Membership is a pure function
+    of the key, so the Spark bottom-k merge and the SQL window oracle agree
+    value-exactly — and at scale the full distinct set is never shuffled
+    (per-partition state is <= k pairs)."""
+    from t_digest_spark.sketches.spark import bottomk_distinct_sample
+    ev = _t(spark, sf_dir, "events")
+    return bottomk_distinct_sample(ev, "user_id", ["event_type"], k=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked
@@ -1214,6 +1293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
+        "theta_user_overlap": q_theta_user_overlap,
+        "frequent_tokens": q_frequent_tokens,
+        "bottomk_user_sample": q_bottomk_user_sample,
         # sketch queries with bound contracts (estimate + in-job exact)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "avl_price_quantiles": q_avl_price_quantiles,
@@ -1596,6 +1678,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
                    true AS p9999_ok
             FROM lineitem
+        """,
+        "theta_user_overlap": """
+            SELECT 'union' AS op,
+                   cast(count(DISTINCT user_id) as bigint) AS exact_count,
+                   true AS theta_ok
+            FROM events WHERE event_type IN ('click', 'purchase')
+            UNION ALL
+            SELECT 'intersect', cast(count(*) as bigint), true FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase')
+            UNION ALL
+            SELECT 'a_not_b', cast(count(*) as bigint), true FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "frequent_tokens": """
+            SELECT tok AS token, cast(count(*) as bigint) AS true_count,
+                   true AS captured, true AS bound_ok
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 10
+        """,
+        "bottomk_user_sample": """
+            SELECT event_type, cast(rn as bigint) AS sample_rank, key_value
+            FROM (
+                SELECT event_type,
+                       cast(user_id as varchar) AS key_value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(cast(user_id as varchar))) AS rn
+                FROM (SELECT DISTINCT event_type, user_id FROM events)
+            ) WHERE rn <= 7
         """,
         "countmin_hot_users": """
             SELECT user_id, cast(count(*) as bigint) AS true_count,
