@@ -1170,6 +1170,77 @@ def q_streaming_windowed_digest(spark, sf_dir):
                  (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok")))
 
 
+def q_streaming_distinct_users(spark, sf_dir):
+    """Event-time windowed DISTINCT counting in the streaming gate: per-(1-day
+    window, event type) theta sketch state under a 2-day watermark — the
+    'distinct users per window' query with O(k) state per key instead of
+    dropDuplicates' unbounded key log. Chunks replay time-ordered (same
+    Spark-side staging pattern as the windowed digest), so the last
+    update-mode emission per key covers the whole window; at test SFs the
+    sketch is in exact mode, making the distinct counts SQL-exact."""
+    import tempfile
+    from pyspark.sql.window import Window
+    from t_digest_spark.sketches.theta import THETA_MAX
+    from t_digest_spark.streaming import (theta_stream_aggregate,
+                                          with_event_window)
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    in_dir = os.path.join(tempfile.gettempdir(),
+                          "theta_winstream_" + _stage_key(sf_dir))
+    if not os.path.exists(os.path.join(in_dir, "_SUCCESS")):
+        import glob
+        import shutil
+        import time
+        slice_dir = in_dir + "_slices"
+        shutil.rmtree(in_dir, ignore_errors=True)
+        (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(slice_dir))
+        os.makedirs(in_dir, exist_ok=True)
+        parts = sorted(glob.glob(os.path.join(slice_dir, "part-*")))
+        now = time.time()
+        for i, p in enumerate(parts):   # part numbers = ts-range order
+            dst = os.path.join(in_dir, f"chunk{i}.parquet")
+            shutil.move(p, dst)
+            os.utime(dst, (now + i, now + i))
+        shutil.rmtree(slice_dir, ignore_errors=True)
+        open(os.path.join(in_dir, "_SUCCESS"), "w").close()
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    windowed = with_event_window(stream, "ts", "1 day", watermark="2 days")
+    sketches = theta_stream_aggregate(windowed, "user_id",
+                                      ["win", "event_type"],
+                                      k=4096, window_col="win")
+    name = "stream_theta_sink"
+    work = tempfile.mkdtemp(prefix="theta_winstream_q_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try:
+        q = (sketches.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", os.path.join(work, "ckpt")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+    # last emission per key = full-window state (retained grows
+    # monotonically within a window in exact mode)
+    latest = (spark.table(name)
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("win", "event_type")
+                  .orderBy(F.desc(F.size("retained")))))
+              .where(F.col("__rn") == 1))
+    return latest.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+        "event_type",
+        F.size("retained").cast("long").alias("distinct_users"),
+        (F.col("theta") == -1).alias("exact_mode"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic media -> hash-fake features ->
     per-kind stats (decode itself stubbed; Spark plumbing real)."""
@@ -1318,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_hot_users": q_countmin_hot_users,
         "hll_distinct_users": q_hll_distinct_users,
         "streaming_digest_events": q_streaming_digest_events,
+        "streaming_distinct_users": q_streaming_distinct_users,
         "streaming_windowed_digest": q_streaming_windowed_digest,
         "multimodal_features": q_multimodal_features,
     }
@@ -1781,6 +1853,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    true AS p50_ok, true AS p99_ok
             FROM events GROUP BY event_type
+        """,
+        "streaming_distinct_users": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
+                   event_type,
+                   cast(count(DISTINCT user_id) as bigint) AS distinct_users,
+                   true AS exact_mode
+            FROM events GROUP BY 1, 2
         """,
         "streaming_windowed_digest": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,

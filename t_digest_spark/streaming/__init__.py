@@ -288,3 +288,74 @@ def kll_stream_aggregate(df: DataFrame, value_col: str,
     return (df.groupBy(*group_cols)
             .applyInPandasWithState(update, out_schema, KLL_STATE_SCHEMA,
                                     "update", timeout))
+
+
+THETA_STATE_SCHEMA = StructType([
+    StructField("retained", ArrayType(LongType())),
+    StructField("theta", LongType()),
+])
+
+
+def theta_stream_aggregate(df: DataFrame, key_col: str,
+                           group_cols: Sequence[str], k: int = 4096,
+                           window_col: Optional[str] = None,
+                           allowed_lateness_ms: int = 0) -> DataFrame:
+    """Stateful per-key theta (bottom-k) distinct sketch over a streaming
+    DataFrame — 'distinct users per window' with O(k) state per key, the
+    streaming counterpart of sketches/spark.py theta_aggregate. Keys hash
+    JVM-side before the stateful operator (shiftrightunsigned(xxhash64, 1),
+    codegen); emitted rows are mergeable with batch theta rows and feed the
+    same estimate/bounds UDFs and set-algebra ops.
+
+    State lifecycle mirrors the other stateful accumulators: with
+    ``window_col`` the state registers an event-time timeout at
+    window_end + allowed_lateness, drops on timeout, and discards late rows
+    for expired windows. Without a window, per-key state stays bounded at
+    <= k longs (unlike raw dropDuplicates state, which grows with the
+    distinct count).
+    """
+    from t_digest_spark.sketches.theta import ThetaSketch
+
+    group_cols = list(group_cols)
+    df = df.withColumn("__h__",
+                       F.shiftrightunsigned(F.xxhash64(key_col), 1))
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols])
+    for name, typ in (("retained", ArrayType(LongType())),
+                      ("theta", LongType()), ("k", LongType())):
+        out_schema = out_schema.add(name, typ)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
+
+    def update(key, pdfs, state: GroupState):
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:      # drain: late rows for an expired window
+                    pass
+                return
+        s = ThetaSketch(k)
+        if state.exists:
+            retained, theta = state.get
+            s = ThetaSketch.from_row(retained, theta, k)
+        for pdf in pdfs:
+            hs = pdf["__h__"].to_numpy(dtype=np.int64, copy=False)
+            if len(hs):
+                s.update_hashes(hs)
+        retained, theta, _ = s.to_row()
+        state.update((retained, int(theta)))
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
+        yield pd.DataFrame([tuple(key) + (retained, int(theta), int(k))],
+                           columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, THETA_STATE_SCHEMA,
+                                    "update", timeout))

@@ -402,3 +402,50 @@ def test_windowed_histogram_stream_expiry(spark):
         assert first.overflow == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_theta_stream_matches_batch(spark):
+    """Streaming theta distinct sketch over two micro-batches equals the
+    exact distinct count (exact mode at this cardinality) and is mergeable
+    with batch theta rows."""
+    from t_digest_spark.sketches.theta import ThetaSketch
+    from t_digest_spark.streaming import theta_stream_aggregate
+
+    batch1 = pd.DataFrame({"g": ["a"] * 3000 + ["b"] * 3000,
+                           "u": list(range(1000)) * 3 + list(range(500, 2000, 1)) * 2})
+    batch2 = pd.DataFrame({"g": ["a"] * 2000,
+                           "u": list(range(500, 2500, 1))})
+
+    work = tempfile.mkdtemp(prefix="theta_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, batch1, "b1")
+        stream = (spark.readStream
+                  .schema("g string, u long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir))
+        sk = theta_stream_aggregate(stream, "u", ["g"], k=8192)
+        q = (sk.writeStream.format("memory").queryName("theta_stream")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, batch2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = {}
+        for r in spark.sql("select * from theta_stream").collect():
+            latest[r.g] = r
+        est_a = ThetaSketch.from_row(latest["a"].retained, latest["a"].theta,
+                                     latest["a"].k).estimate()
+        est_b = ThetaSketch.from_row(latest["b"].retained, latest["b"].theta,
+                                     latest["b"].k).estimate()
+        exact_a = len(set(batch1[batch1.g == "a"].u) | set(batch2.u))
+        exact_b = len(set(batch1[batch1.g == "b"].u))
+        assert est_a == float(exact_a)
+        assert est_b == float(exact_b)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
