@@ -172,3 +172,39 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert probed.count() > 0
+
+
+def test_theta_partial_build_no_shuffle_and_jvm_hash(spark):
+    """Theta partial build: the key hashes in codegen (xxhash64 visible in
+    the plan, no Python eval below MapInPandas) and no Exchange touches raw
+    rows — partials of <= k+1 longs are all that shuffles."""
+    from t_digest_spark.sketches.spark import theta_aggregate
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = theta_aggregate(ev, "user_id", ["event_type"], k=1024)
+    plan = _plan(sk)
+    pre_merge = plan[plan.index("MapInPandas"):]
+    assert "xxhash64" in pre_merge                 # JVM-side hashing
+    assert "Exchange" not in pre_merge             # no raw-row shuffle
+    # column pruning reaches the scan: only the two needed columns
+    assert "ReadSchema: struct<user_id:bigint" in plan or \
+        "ReadSchema: struct<event_type:string,user_id:bigint>" in plan
+
+
+def test_frequent_partial_build_no_shuffle(spark):
+    from t_digest_spark.sketches.spark import frequent_aggregate
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(frequent_aggregate(ev, "user_id", ["event_type"], k=64))
+    pre_merge = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in pre_merge
+
+
+def test_bottomk_sample_partial_no_shuffle(spark):
+    """The distinct-sample partial keeps <= k pairs per partition; the only
+    Exchange in the plan must sit ABOVE MapInPandas (merging partials), so
+    the full distinct set never shuffles."""
+    from t_digest_spark.sketches.spark import bottomk_distinct_sample
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(bottomk_distinct_sample(ev, "user_id", ["event_type"], k=5))
+    pre_merge = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in pre_merge
+    assert "md5" in pre_merge                      # hash computed JVM-side
