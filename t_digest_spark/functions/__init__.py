@@ -132,11 +132,31 @@ def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
             for it, off, mn, mx, n, qq
             in zip(items, offsets, kmin, kmax, count, q)])
 
+    @pandas_udf("double")
+    def theta_estimate(retained: pd.Series, theta: pd.Series,
+                       k: pd.Series) -> pd.Series:
+        from t_digest_spark.sketches.theta import ThetaSketch
+        return pd.Series([
+            ThetaSketch.from_row(r, t, kk).estimate()
+            for r, t, kk in zip(retained, theta, k)])
+
+    @pandas_udf("bigint")
+    def frequent_estimate(keys: pd.Series, counts: pd.Series,
+                          max_error: pd.Series, n: pd.Series, k: pd.Series,
+                          item: pd.Series) -> pd.Series:
+        from t_digest_spark.sketches.frequent import FrequentItemsSketch
+        return pd.Series([
+            FrequentItemsSketch.from_row(ks, cs, me, nn, kk).estimate(str(it))
+            for ks, cs, me, nn, kk, it
+            in zip(keys, counts, max_error, n, k, item)])
+
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
     spark.udf.register("avltree_quantile", avltree_quantile)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("theta_estimate", theta_estimate)
+    spark.udf.register("frequent_estimate", frequent_estimate)
 
 
 def register_sql_aggregate(spark, delta: float = 100.0, scale: str = "k2",

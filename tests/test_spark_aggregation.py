@@ -252,3 +252,22 @@ def test_entry_contract_schema(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert all(r.min_len <= r.p50 <= r.p999 <= r.max_len for r in rows)
+
+
+def test_sql_theta_and_frequent_functions(spark):
+    """SQL scalar surface for the new sketch family: theta_estimate over
+    theta rows, frequent_estimate point lookups over MG rows."""
+    from t_digest_spark.functions import register_sql_functions
+    from t_digest_spark.sketches.spark import (frequent_aggregate,
+                                               theta_aggregate)
+    register_sql_functions(spark)
+    df = spark.range(0, 5000).selectExpr("id % 700 AS key")
+    theta_aggregate(df, "key", None, k=4096).createOrReplaceTempView("th")
+    assert spark.sql(
+        "SELECT theta_estimate(retained, theta, k) AS e FROM th"
+    ).collect()[0].e == 700.0
+    frequent_aggregate(df, "key", None, k=1024).createOrReplaceTempView("fi")
+    got = spark.sql(
+        "SELECT frequent_estimate(keys, counts, max_error, n, k, '3') AS c "
+        "FROM fi").collect()[0].c
+    assert got == df.where("key = 3").count()
