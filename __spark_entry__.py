@@ -1257,6 +1257,32 @@ def q_multimodal_features(spark, sf_dir):
         .alias("dims_ok"))
 
 
+def q_events_value_ranks(spark, sf_dir):
+    """Per-row percentile-rank enrichment WITHOUT a window sort: one digest
+    row per event type (zero raw shuffle) evaluated into a broadcast
+    quantile table, then a vectorized interp per Arrow batch. The in-job
+    exact mid-rank (rank window — the contract side only; the operator
+    itself never sorts) bounds the estimate at 1.5% max / 0.5% mean rank
+    error per type."""
+    from pyspark.sql.window import Window
+    from t_digest_spark.operators import tdigest_aggregate
+    from t_digest_spark.operators.rank import digest_rank_lookup
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    digests = tdigest_aggregate(ev, "value", ["event_type"])
+    ranked = digest_rank_lookup(ev, digests, "value", ["event_type"])
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    weq = Window.partitionBy("event_type", "value")
+    exact = ((F.rank().over(wr) - 1 + 0.5 * F.count("*").over(weq))
+             / F.count("*").over(wt))
+    err = F.abs(F.col("rank_est") - exact)
+    return (ranked.withColumn("__err__", err)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("__err__") <= 0.015).alias("max_ok"),
+                 (F.avg("__err__") <= 0.005).alias("avg_ok")))
+
+
 def q_theta_user_overlap(spark, sf_dir):
     """Theta-sketch set algebra (the query HLL cannot answer): how many
     distinct users clicked AND purchased / clicked OR purchased / clicked
@@ -1364,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
+        "events_value_ranks": q_events_value_ranks,
         "theta_user_overlap": q_theta_user_overlap,
         "frequent_tokens": q_frequent_tokens,
         "bottomk_user_sample": q_bottomk_user_sample,
@@ -1750,6 +1777,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
                    true AS p9999_ok
             FROM lineitem
+        """,
+        "events_value_ranks": """
+            SELECT event_type, cast(count(*) as bigint) AS n_events,
+                   true AS max_ok, true AS avg_ok
+            FROM events GROUP BY event_type
         """,
         "theta_user_overlap": """
             SELECT 'union' AS op,
