@@ -1257,6 +1257,22 @@ def q_multimodal_features(spark, sf_dir):
         .alias("dims_ok"))
 
 
+def q_sampled_user_events(spark, sf_dir):
+    """Entity-consistent 20% sample: keep every event of a user iff
+    md5(user_id) falls under the fraction threshold — a pure codegen
+    filter (pushdown-friendly, no shuffle/state), reproducible across
+    engines, and consistent across tables (the same users would be kept
+    in any other table sampled on user_id). Per-type event counts of the
+    sampled population are value-exact against the identical SQL
+    predicate."""
+    from t_digest_spark.operators.sample import consistent_sample
+    ev = _t(spark, sf_dir, "events")
+    return (consistent_sample(ev, "user_id", 0.2)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 def q_events_value_ranks(spark, sf_dir):
     """Per-row percentile-rank enrichment WITHOUT a window sort: one digest
     row per event type (zero raw shuffle) evaluated into a broadcast
@@ -1390,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
+        "sampled_user_events": q_sampled_user_events,
         "events_value_ranks": q_events_value_ranks,
         "theta_user_overlap": q_theta_user_overlap,
         "frequent_tokens": q_frequent_tokens,
@@ -1777,6 +1794,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
                    true AS p9999_ok
             FROM lineitem
+        """,
+        "sampled_user_events": """
+            SELECT event_type, cast(count(*) as bigint) AS n_events,
+                   cast(count(DISTINCT user_id) as bigint) AS n_users
+            FROM events
+            WHERE md5(cast(user_id as varchar))
+                  < '33333333333334000000000000000000'
+            GROUP BY event_type
         """,
         "events_value_ranks": """
             SELECT event_type, cast(count(*) as bigint) AS n_events,

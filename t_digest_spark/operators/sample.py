@@ -1,0 +1,48 @@
+"""Deterministic, entity-consistent Bernoulli sampling.
+
+``consistent_sample`` keeps a row iff ``md5(cast(key as string)) <
+threshold(fraction)`` — a pure function of the key, so:
+
+  * the same key samples identically in EVERY table (sample users in
+    `events` and in `orders` separately and the joins still line up — the
+    property rand()-based sampling cannot give);
+  * results are reproducible run-to-run and engine-to-engine (the SQL
+    oracle is the literal same predicate);
+  * at scale it is a codegen filter pushed at the scan — no shuffle, no
+    state, trivially composable with everything downstream.
+
+The threshold is the fraction scaled into the 128-bit md5 hex space;
+md5's uniformity makes the sample Bernoulli(fraction) over distinct keys.
+Salt with ``seed`` to draw a different (still consistent) sample.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_threshold(fraction: float) -> str:
+    """32-hex-digit threshold: keys whose md5 sorts below it are kept."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return "g" * 32          # sorts after every hex digest: keep all
+    return format(int(fraction * (1 << 128)), "032x")
+
+
+def sample_predicate(key_col: str, fraction: float,
+                     seed: Optional[str] = None) -> Column:
+    """The keep-predicate as a Column — reusable across tables so entity
+    samples stay consistent."""
+    key = F.col(key_col).cast("string")
+    if seed:
+        key = F.concat(key, F.lit(seed))
+    return F.md5(key) < F.lit(sample_threshold(fraction))
+
+
+def consistent_sample(df: DataFrame, key_col: str, fraction: float,
+                      seed: Optional[str] = None) -> DataFrame:
+    return df.where(sample_predicate(key_col, fraction, seed))

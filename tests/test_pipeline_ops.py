@@ -521,3 +521,38 @@ def test_range_join_matches_nested_loop(spark):
             left.crossJoin(iv).where((F.col("v") >= F.col("lo"))
                                      & (F.col("v") < F.col("hi"))).collect()}
     assert got == want and len(want) > 0
+
+
+def test_consistent_sample_properties(spark):
+    """Entity-consistent Bernoulli sampling: deterministic, cross-table
+    consistent, fraction-accurate, and a pushed-down codegen filter."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.operators.sample import (consistent_sample,
+                                                 sample_predicate,
+                                                 sample_threshold)
+    df = spark.range(0, 20_000).selectExpr("id AS user_id",
+                                           "id % 7 AS payload")
+    s1 = consistent_sample(df, "user_id", 0.2)
+    s2 = consistent_sample(df, "user_id", 0.2)
+    assert s1.count() == s2.count()                      # deterministic
+    n = s1.count()
+    assert abs(n / 20_000 - 0.2) < 0.02                  # Bernoulli(0.2)
+    # cross-table consistency: the same users are kept in a second table
+    other = spark.range(0, 20_000).selectExpr("id AS user_id")
+    kept1 = {r.user_id for r in s1.select("user_id").collect()}
+    kept2 = {r.user_id for r in
+             consistent_sample(other, "user_id", 0.2).collect()}
+    assert kept1 == kept2
+    # nested fractions: a 10% sample is a subset of the 20% sample
+    kept10 = {r.user_id for r in
+              consistent_sample(df, "user_id", 0.1).select("user_id").collect()}
+    assert kept10 <= kept1
+    # different seed -> different (but still deterministic) sample
+    kept_seeded = {r.user_id for r in
+                   consistent_sample(df, "user_id", 0.2, seed="v2")
+                   .select("user_id").collect()}
+    assert kept_seeded != kept1
+    # edge fractions
+    assert consistent_sample(df, "user_id", 0.0).count() == 0
+    assert consistent_sample(df, "user_id", 1.0).count() == 20_000
+    assert len(sample_threshold(0.5)) == 32
