@@ -1273,6 +1273,20 @@ def q_sampled_user_events(spark, sf_dir):
                  F.countDistinct("user_id").alias("n_users")))
 
 
+def q_stratified_doc_sample(spark, sf_dir):
+    """Per-language document downsampling (the corpus-balancing staple:
+    cut the dominant language, keep low-resource ones whole) as a codegen
+    CASE over consistent hash thresholds — pushdown-friendly, stateless,
+    value-exact against the identical SQL predicate."""
+    from t_digest_spark.operators.sample import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 0.1, "de": 0.5}, default=1.0)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_events_value_ranks(spark, sf_dir):
     """Per-row percentile-rank enrichment WITHOUT a window sort: one digest
     row per event type (zero raw shuffle) evaluated into a broadcast
@@ -1407,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "sampled_user_events": q_sampled_user_events,
+        "stratified_doc_sample": q_stratified_doc_sample,
         "events_value_ranks": q_events_value_ranks,
         "theta_user_overlap": q_theta_user_overlap,
         "frequent_tokens": q_frequent_tokens,
@@ -1802,6 +1817,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5(cast(user_id as varchar))
                   < '33333333333334000000000000000000'
             GROUP BY event_type
+        """,
+        "stratified_doc_sample": """
+            SELECT lang, cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS sum_chars
+            FROM documents
+            WHERE md5(cast(doc_id as varchar)) <
+                  CASE lang
+                      WHEN 'en' THEN '1999999999999a000000000000000000'
+                      WHEN 'de' THEN '80000000000000000000000000000000'
+                      ELSE 'gggggggggggggggggggggggggggggggg'
+                  END
+            GROUP BY lang
         """,
         "events_value_ranks": """
             SELECT event_type, cast(count(*) as bigint) AS n_events,

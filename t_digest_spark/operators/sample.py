@@ -46,3 +46,23 @@ def sample_predicate(key_col: str, fraction: float,
 def consistent_sample(df: DataFrame, key_col: str, fraction: float,
                       seed: Optional[str] = None) -> DataFrame:
     return df.where(sample_predicate(key_col, fraction, seed))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict, default: float = 0.0,
+                      seed: Optional[str] = None) -> DataFrame:
+    """Per-stratum consistent sampling (e.g. downsample English to 5% but
+    keep 100% of low-resource languages): the keep-threshold is selected by
+    a codegen CASE over ``strata_col``, the key hash is shared across
+    strata, so a key sampled in one stratum at fraction f is also sampled
+    anywhere its stratum's fraction >= f (nesting carries over). Still a
+    pure pushdown-friendly filter — no shuffle, no state."""
+    key = F.col(key_col).cast("string")
+    if seed:
+        key = F.concat(key, F.lit(seed))
+    h = F.md5(key)
+    expr = F.lit(sample_threshold(default))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(sample_threshold(frac))).otherwise(expr)
+    return df.where(h < expr)

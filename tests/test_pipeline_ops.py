@@ -556,3 +556,30 @@ def test_consistent_sample_properties(spark):
     assert consistent_sample(df, "user_id", 0.0).count() == 0
     assert consistent_sample(df, "user_id", 1.0).count() == 20_000
     assert len(sample_threshold(0.5)) == 32
+
+
+def test_stratified_sample(spark):
+    """Per-stratum fractions via a codegen CASE; shared key hash means the
+    sample nests across strata fractions."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.operators.sample import (consistent_sample,
+                                                 stratified_sample)
+    df = spark.range(0, 30_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' "
+        "ELSE 'sw' END AS lang")
+    out = stratified_sample(df, "doc_id", "lang",
+                            {"en": 0.1, "de": 0.5, "sw": 1.0})
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["sw"] == 10_000                        # keep-all stratum
+    assert abs(counts["en"] / 10_000 - 0.1) < 0.02
+    assert abs(counts["de"] / 10_000 - 0.5) < 0.03
+    # unknown stratum falls back to default=0.0
+    extra = spark.range(0, 100).selectExpr("id AS doc_id", "'fr' AS lang")
+    assert stratified_sample(extra, "doc_id", "lang", {"en": 0.5}).count() == 0
+    # nesting: en@10% is a subset of a flat 50% sample on the same key
+    en_ids = {r.doc_id for r in out.where("lang='en'").collect()}
+    flat50 = {r.doc_id for r in
+              consistent_sample(df, "doc_id", 0.5).select("doc_id").collect()}
+    assert en_ids <= flat50
