@@ -2,7 +2,7 @@
 cardinalities far beyond the gate SFs — the empirical backing for the
 published error bounds at pipeline scale.
 
-* Theta: distinct-count a synthetic table with ~25M rows / ~8M distinct
+* Theta: distinct-count a synthetic table with ~25M rows / ~12.6M distinct (xxhash64 % m is signed, so the key range is (-m, m))
   keys (vs k=4096 retained) — relative error must sit inside 5 sigma of
   RSE = 1/sqrt(k-1) ~ 1.6%; also times the partial-build throughput.
 * Theta set algebra at scale: two overlapping key ranges; intersection and
