@@ -2,8 +2,9 @@
 cardinalities far beyond the gate SFs — the empirical backing for the
 published error bounds at pipeline scale.
 
-* Theta: distinct-count a synthetic table with ~25M rows / ~12.6M distinct (xxhash64 % m is signed, so the key range is (-m, m))
-  keys (vs k=4096 retained) — relative error must sit inside 5 sigma of
+* Theta: distinct-count a synthetic table with ~25M rows / ~12.6M distinct
+  keys (xxhash64 % m is signed, so the key range is (-m, m)) vs k=4096
+  retained — relative error must sit inside 5 sigma of
   RSE = 1/sqrt(k-1) ~ 1.6%; also times the partial-build throughput.
 * Theta set algebra at scale: two overlapping key ranges; intersection and
   A-not-B estimates within 10% of exact (set-op error compounds —
@@ -44,7 +45,7 @@ def main():
                       shuffle_partitions=32)
     out = {}
 
-    # ---- theta distinct at ~8M distinct / 25M rows
+    # ---- theta distinct at ~12.6M distinct / 25M rows
     n_rows, key_mod = 25_000_000, 8_000_000
     df = (spark.range(0, n_rows, 1, 32)
           .select((F.xxhash64("id") % key_mod).alias("key")))
