@@ -1273,6 +1273,46 @@ def q_sampled_user_events(spark, sf_dir):
                  F.countDistinct("user_id").alias("n_users")))
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination, the composition the sketch family exists
+    for: a Bloom filter of the eval set's content hashes broadcasts to the
+    train scan as a stateless prefilter (no shuffle touches clean rows —
+    at 100 TB that's ~100% of the table), and only Bloom-flagged candidates
+    reach the exact verify join against the tiny eval side. Bloom's
+    no-false-negatives guarantee makes the pipeline exact: survivors =
+    train minus true matches, always. Content keyed by md5(text) so the
+    oracle reproduces every count; fp bound = 5x the (m,k,n) design fpp."""
+    import math as _math
+    from t_digest_spark.sketches.spark import bloom_aggregate, bloom_contains
+    # prefix fingerprint (not whole-text md5): matches docs sharing a
+    # 120-char head — gives the gate real cross-split true positives
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 120)).alias("h"))
+    eval_set = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    m_bits, kk = 1 << 20, 5
+    bf = bloom_aggregate(eval_set, "h", m_bits=m_bits, k=kk)
+    flagged = bloom_contains(bf, train, "h")
+    eval_hashes = (eval_set.select("h").distinct()
+                   .withColumn("__in_eval__", F.lit(True)))
+    ind = flagged.join(F.broadcast(eval_hashes), "h", "left")
+    n_eval = eval_set.count()
+    fpp = (1.0 - _math.exp(-kk * n_eval / m_bits)) ** kk
+    contaminated = F.col("__in_eval__").isNotNull()
+    n_train = F.count(F.lit(1))
+    n_cont = F.sum(contaminated.cast("long"))
+    n_flag = F.sum(F.col("bloom_contains").cast("long"))
+    return ind.agg(
+        n_train.alias("n_train"),
+        n_cont.alias("n_contaminated"),
+        (n_train - n_cont).alias("n_survivors"),
+        # no false negatives: every true match was Bloom-flagged
+        (F.sum((contaminated & ~F.col("bloom_contains")).cast("long")) == 0)
+        .alias("no_false_negatives"),
+        ((n_flag - n_cont) <= F.lit(5.0 * fpp) * n_train + F.lit(5.0))
+        .alias("fp_ok"))
+
+
 def q_stratified_doc_sample(spark, sf_dir):
     """Per-language document downsampling (the corpus-balancing staple:
     cut the dominant language, keep low-resource ones whole) as a codegen
@@ -1422,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
         "sampled_user_events": q_sampled_user_events,
         "stratified_doc_sample": q_stratified_doc_sample,
+        "decontaminate_docs": q_decontaminate_docs,
         "events_value_ranks": q_events_value_ranks,
         "theta_user_overlap": q_theta_user_overlap,
         "frequent_tokens": q_frequent_tokens,
@@ -1817,6 +1858,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5(cast(user_id as varchar))
                   < '33333333333334000000000000000000'
             GROUP BY event_type
+        """,
+        "decontaminate_docs": """
+            WITH d AS (SELECT doc_id, md5(substr(text, 1, 120)) AS h FROM documents),
+            e AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 = 0),
+            t AS (SELECT h FROM d WHERE doc_id % 10 <> 0)
+            SELECT cast(count(*) as bigint) AS n_train,
+                   cast(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                        as bigint) AS n_contaminated,
+                   cast(count(*) - sum(CASE WHEN e.h IS NOT NULL THEN 1
+                                            ELSE 0 END)
+                        as bigint) AS n_survivors,
+                   true AS no_false_negatives, true AS fp_ok
+            FROM t LEFT JOIN e ON t.h = e.h
         """,
         "stratified_doc_sample": """
             SELECT lang, cast(count(*) as bigint) AS n_docs,
