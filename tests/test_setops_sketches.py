@@ -237,3 +237,59 @@ class TestSparkLayer:
                        for i, kv in enumerate(top["key"])]
         assert [(r["g"], r["sample_rank"], r["key_value"]) for r in got] \
             == sorted(expect)
+
+
+class TestEdgeCases:
+    def test_theta_empty_and_single(self):
+        s = ThetaSketch(k=64)
+        assert s.estimate() == 0.0 and not s.is_estimation
+        s.update_hashes(np.array([], dtype=np.int64))
+        assert s.estimate() == 0.0
+        s.update_hashes([42])
+        assert s.estimate() == 1.0
+        empty = ThetaSketch(k=64)
+        assert ThetaSketch.intersect(s, empty).estimate() == 0.0
+        assert ThetaSketch.a_not_b(s, empty).estimate() == 1.0
+        assert ThetaSketch.a_not_b(empty, s).estimate() == 0.0
+        assert ThetaSketch.union_all([], k=64).estimate() == 0.0
+
+    def test_frequent_empty(self):
+        s = FrequentItemsSketch(k=8)
+        assert s.frequent_items() == []
+        assert s.estimate("x") == 0 and s.upper_bound("x") == 0
+        m = FrequentItemsSketch.merge_all([], k=8)
+        assert m.n == 0 and m.counters == {}
+
+    def test_spark_null_keys_and_empty(self, spark):
+        import pyspark.sql.functions as F
+        from t_digest_spark.sketches.spark import (bottomk_distinct_sample,
+                                                   frequent_aggregate,
+                                                   theta_aggregate,
+                                                   theta_estimate_udf)
+        df = spark.range(0, 100).select(
+            F.when(F.col("id") % 2 == 0, F.col("id") % 10).alias("key"))
+        # nulls are filtered before the sketch: 5 distinct even residues
+        sk = theta_aggregate(df, "key", None, k=64)
+        assert sk.select(theta_estimate_udf()("retained", "theta", "k")
+                         .alias("e")).collect()[0]["e"] == 5.0
+        fi = frequent_aggregate(df, "key", None, k=16).collect()[0]
+        assert sum(fi["counts"]) == 50
+        # fewer distinct keys than k: sample returns them all
+        got = bottomk_distinct_sample(df, "key", None, k=50).collect()
+        assert len(got) == 5
+        # fully-empty input: zero result rows, not an error
+        empty = df.where("key > 1000")
+        assert theta_aggregate(empty, "key", None, k=64).count() == 0
+        assert bottomk_distinct_sample(empty, "key", None, k=5).count() == 0
+
+    def test_rank_lookup_unknown_group_is_nan(self, spark):
+        import pyspark.sql.functions as F
+        from t_digest_spark.operators import tdigest_aggregate
+        from t_digest_spark.operators.rank import digest_rank_lookup
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").cast("double").alias("x"))
+        digests = tdigest_aggregate(df.where("g = '0'"), "x", ["g"])
+        out = digest_rank_lookup(df, digests, "x", ["g"]).toPandas()
+        assert out[out.g == "1"]["rank_est"].isna().all()
+        assert out[out.g == "0"]["rank_est"].notna().all()
