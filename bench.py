@@ -155,7 +155,8 @@ def main():
                          key=round_no)   # numeric, not lexical: r3 < r10 < r100
         if benches:
             with open(benches[-1]) as f:
-                prev_q = (json.load(f).get("parsed") or {}).get("queries") or {}
+                prev = json.load(f).get("parsed") or {}
+            prev_q = prev.get("queries") or {}
             common = [k for k in timings
                       if timings.get(k) is not None and prev_q.get(k) is not None]
             comparable = {
@@ -164,6 +165,16 @@ def main():
                 "subtotal_now_sec": round(sum(timings[k] for k in common), 3),
                 "subtotal_prev_sec": round(sum(prev_q[k] for k in common), 3),
             }
+            # Host-speed normalization (BENCH.md §0): this sandbox's
+            # hypervisor steal varies 2-4x between windows; the single-core
+            # kernel canary ratio is the host-speed ratio, so subtotal_now /
+            # kernel_ratio is the engine-vs-engine comparison.
+            prev_kernel = prev.get("kernel_pts_per_sec_single_core")
+            if prev_kernel and kernel_pts_per_sec:
+                ratio = prev_kernel / kernel_pts_per_sec  # >1: host now slower
+                comparable["host_slowdown_vs_prev"] = round(ratio, 3)
+                comparable["subtotal_now_host_normalized_sec"] = round(
+                    comparable["subtotal_now_sec"] / ratio, 3)
     except Exception as e:
         print(f"bench: comparable_to_prev failed: {e}", file=sys.stderr)
 
