@@ -26,6 +26,14 @@ import numpy as np
 import pyspark.sql.functions as F
 
 
+def _kernel_burn():
+    """One digest build over 1M points — the 8-proc canary workload (module
+    level so fork+pickle work everywhere)."""
+    from t_digest_spark.core import TDigest
+    kv = np.random.default_rng(11).normal(0, 1, 1_000_000)
+    TDigest.from_values(kv)
+
+
 def run_flagship(spark, sf_dir: str) -> dict:
     """Flagship digest job: per-returnflag digest of l_extendedprice over
     lineitem + global digest over events.value. Returns wall time, input rows,
@@ -137,6 +145,30 @@ def main():
     except Exception:
         kernel_pts_per_sec = None
 
+    # multi-core canary: the same kernel in 8 concurrent processes. The
+    # single-core number misses steal that only bites under parallel load
+    # (observed: 1-core canary at an all-round best while the 32-way query
+    # suite ran 1.8x slow); the pair (1-core, 8-proc) pins host health on
+    # both axes for cross-round normalization.
+    try:
+        import multiprocessing as _mp
+        ctx = _mp.get_context("fork")
+
+        def _batch8() -> float:
+            t0 = time.perf_counter()
+            procs = [ctx.Process(target=_kernel_burn) for _ in range(8)]
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join()
+            return time.perf_counter() - t0
+
+        _batch8()                      # one-time fork/COW page-fault warmup
+        wall8 = min(_batch8() for _ in range(3))
+        kernel_pts_per_sec_8proc = round(8 * 1_000_000 / wall8, 1)
+    except Exception:
+        kernel_pts_per_sec_8proc = None
+
     # Same-definition comparison vs the previous round's recorded bench
     # (VERDICT r2 #8): the full-suite total moves when queries are added or
     # their contracts deepen, so also report the subtotal over the query
@@ -187,6 +219,7 @@ def main():
         "sf": sf,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         "kernel_pts_per_sec_single_core": kernel_pts_per_sec,
+        "kernel_pts_per_sec_8proc": kernel_pts_per_sec_8proc,
         "flagship_digest_rows_per_sec": round(flagship["throughput_rows_per_sec"], 1),
         "flagship_wall_sec": flagship["wall_sec"] and round(flagship["wall_sec"], 3),
         "rank_error": flagship["rank_error"],

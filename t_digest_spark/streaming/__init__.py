@@ -28,8 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from t_digest_spark.core import TDigest
 from t_digest_spark.serde import DIGEST_FIELDS, digest_to_cells
@@ -358,4 +358,75 @@ def theta_stream_aggregate(df: DataFrame, key_col: str,
 
     return (df.groupBy(*group_cols)
             .applyInPandasWithState(update, out_schema, THETA_STATE_SCHEMA,
+                                    "update", timeout))
+
+
+FI_STATE_SCHEMA = StructType([
+    StructField("keys", ArrayType(StringType())),
+    StructField("counts", ArrayType(LongType())),
+    StructField("max_error", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def frequent_stream_aggregate(df: DataFrame, key_col: str,
+                              group_cols: Sequence[str], k: int = 512,
+                              window_col: Optional[str] = None,
+                              allowed_lateness_ms: int = 0) -> DataFrame:
+    """Stateful per-key Misra-Gries heavy hitters over a streaming
+    DataFrame — 'trending items per window' with state bounded at k
+    counters per key (sketches/frequent.py guarantees carry over:
+    estimate <= true <= estimate + max_error, max_error <= n/(k+1)).
+    Emitted rows are mergeable with batch frequent_aggregate rows and feed
+    frequent_items_explode / the frequent_estimate SQL scalar.
+
+    Same windowed state lifecycle as the other stateful accumulators
+    (digest, KLL, histogram, theta)."""
+    from t_digest_spark.sketches.frequent import FrequentItemsSketch
+
+    group_cols = list(group_cols)
+    df = df.withColumn("__key__", F.col(key_col).cast("string"))
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols])
+    for name, typ in (("keys", ArrayType(StringType())),
+                      ("counts", ArrayType(LongType())),
+                      ("max_error", LongType()), ("n", LongType()),
+                      ("k", LongType())):
+        out_schema = out_schema.add(name, typ)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
+
+    def update(key, pdfs, state: GroupState):
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:      # drain: late rows for an expired window
+                    pass
+                return
+        s = FrequentItemsSketch(k)
+        if state.exists:
+            keys_l, counts_l, max_error, n = state.get
+            s = FrequentItemsSketch.from_row(keys_l, counts_l, max_error, n, k)
+        for pdf in pdfs:
+            if len(pdf):
+                s.update_batch(pdf["__key__"])
+        keys_l, counts_l, max_error, n, _ = s.to_row()
+        state.update((list(keys_l), [int(c) for c in counts_l],
+                      int(max_error), int(n)))
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
+        yield pd.DataFrame([tuple(key) + (list(keys_l),
+                                          [int(c) for c in counts_l],
+                                          int(max_error), int(n), int(k))],
+                           columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, FI_STATE_SCHEMA,
                                     "update", timeout))

@@ -449,3 +449,47 @@ def test_theta_stream_matches_batch(spark):
         assert est_b == float(exact_b)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_frequent_stream_matches_batch(spark):
+    """Streaming Misra-Gries over two micro-batches keeps the containment
+    guarantee for the heavy key and exact totals."""
+    from t_digest_spark.sketches.frequent import FrequentItemsSketch
+    from t_digest_spark.streaming import frequent_stream_aggregate
+
+    rng = np.random.default_rng(17)
+    def batch(n, heavy_frac):
+        keys = np.where(rng.uniform(size=n) < heavy_frac, 7,
+                        rng.integers(100, 4000, size=n))
+        return pd.DataFrame({"g": "a", "item": keys.astype("int64")})
+
+    b1, b2 = batch(20_000, 0.3), batch(15_000, 0.25)
+    work = tempfile.mkdtemp(prefix="fi_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, b1, "b1")
+        stream = (spark.readStream.schema("g string, item long")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        sk = frequent_stream_aggregate(stream, "item", ["g"], k=256)
+        q = (sk.writeStream.format("memory").queryName("fi_stream")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = None
+        for r in spark.sql("select * from fi_stream").collect():
+            latest = r
+        s = FrequentItemsSketch.from_row(latest.keys, latest.counts,
+                                         latest.max_error, latest.n, latest.k)
+        true7 = int((b1.item == 7).sum() + (b2.item == 7).sum())
+        assert s.n == 35_000
+        assert s.max_error <= s.n // (s.k + 1) + 2
+        assert s.estimate("7") <= true7 <= s.estimate("7") + s.max_error
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
