@@ -78,3 +78,43 @@ def resume_aggregate(new_df: DataFrame, checkpoint_path: str, value_col: str,
                          delta=delta, scale=scale)
         return read_checkpoint(spark, out_checkpoint_path)
     return merged
+
+
+# ------------------------------------------------------------- theta sketches
+
+def write_theta_checkpoint(theta_df: DataFrame, path: str,
+                           run_id: str = "r0",
+                           mode: str = "overwrite") -> None:
+    """Checkpoint theta distinct-sketch rows with the same lineage shape as
+    digest checkpoints (north rule: resumable + per-partition lineage +
+    metrics). ``n_retained`` is the state-size metric; ``is_estimation``
+    records the regime at checkpoint time."""
+    out = (theta_df
+           .withColumn("n_retained", F.size("retained").cast("long"))
+           .withColumn("is_estimation", F.col("theta") != F.lit(-1))
+           .withColumn("run_id", F.lit(run_id)))
+    out.write.mode(mode).parquet(path)
+
+
+def resume_theta_aggregate(new_df: DataFrame, checkpoint_path: str,
+                           key_col: str,
+                           group_cols: Optional[Sequence[str]] = None,
+                           k: int = 4096, new_run_id: str = "r1",
+                           out_checkpoint_path: Optional[str] = None) -> DataFrame:
+    """Fold new data into checkpointed theta state. Bottom-k union is
+    EXACTLY order-insensitive, so the resumed sketch is byte-identical to
+    a from-scratch aggregate over old+new (pinned in tests) — stronger
+    than the digest's within-tolerance resume."""
+    from t_digest_spark.sketches.spark import theta_aggregate, theta_merge
+    spark = new_df.sparkSession
+    group_cols = list(group_cols or [])
+    prior = read_checkpoint(spark, checkpoint_path).select(
+        *group_cols, "retained", "theta", "k")
+    fresh = theta_aggregate(new_df, key_col, group_cols, k=k)
+    merged = theta_merge(prior.unionByName(fresh), group_cols, k=k)
+    if out_checkpoint_path:
+        write_theta_checkpoint(merged, out_checkpoint_path,
+                               run_id=new_run_id)
+        return read_checkpoint(spark, out_checkpoint_path).select(
+            *group_cols, "retained", "theta", "k")
+    return merged

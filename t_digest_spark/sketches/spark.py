@@ -418,7 +418,18 @@ def theta_aggregate(df: DataFrame, key_col: str,
                                columns=group_cols + out_cols)
 
     partials = proj.mapInPandas(build, schema)
+    return theta_merge(partials, group_cols, k=k)
 
+
+def theta_merge(partials: DataFrame,
+                group_cols: Optional[Sequence[str]] = None,
+                k: int = 4096) -> DataFrame:
+    """Union theta rows per group (bottom-k union is EXACTLY
+    order-insensitive, so any merge tree yields the identical sketch) —
+    also the resume path: checkpointed rows union with fresh partials."""
+    from t_digest_spark.sketches.theta import ThetaSketch
+    group_cols = list(group_cols or [])
+    out_cols = ["retained", "theta", "k"]
     gb = list(group_cols)
     added = False
     if not gb:

@@ -90,3 +90,35 @@ def test_wire_codec_cross_checkpoint(spark):
             assert d.quantile(q) == pytest.approx(ref.quantile(q), abs=1e-9)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_theta_checkpoint_resume_byte_identical(spark, tmp_path):
+    """Resume from a theta checkpoint == from-scratch over old+new, down to
+    the retained hash set (bottom-k union is exactly order-insensitive)."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.operators.checkpoint import (resume_theta_aggregate,
+                                                     write_theta_checkpoint)
+    from t_digest_spark.sketches.spark import theta_aggregate
+    old = spark.range(0, 60_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 9000).alias("key"))
+    new = spark.range(60_000, 100_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 13_000).alias("key"))
+    ck = str(tmp_path / "theta_ck")
+    write_theta_checkpoint(theta_aggregate(old, "key", ["g"], k=2048), ck,
+                           run_id="r0")
+    resumed = {r["g"]: r for r in
+               resume_theta_aggregate(new, ck, "key", ["g"], k=2048,
+                                      out_checkpoint_path=str(tmp_path / "ck2"))
+               .collect()}
+    bulk = {r["g"]: r for r in
+            theta_aggregate(old.unionByName(new), "key", ["g"], k=2048)
+            .collect()}
+    assert set(resumed) == set(bulk) == {0, 1}
+    for g in (0, 1):
+        assert resumed[g]["theta"] == bulk[g]["theta"]
+        assert list(resumed[g]["retained"]) == list(bulk[g]["retained"])
+    # lineage metadata present in the checkpoint
+    meta = spark.read.parquet(str(tmp_path / "ck2")).select(
+        "run_id", "n_retained", "is_estimation").collect()
+    assert all(r["run_id"] == "r1" for r in meta)
+    assert all(r["n_retained"] > 0 for r in meta)
