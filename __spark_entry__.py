@@ -1257,6 +1257,32 @@ def q_multimodal_features(spark, sf_dir):
         .alias("dims_ok"))
 
 
+def q_theta_rollup_users(spark, sf_dir):
+    """Sketch-cube rollup: distinct users per (day, type), per day, and
+    total — from ONE scan. The finest-grain theta sketches build once;
+    coarser levels are theta_merge over the tiny sketch rows (no re-read,
+    no re-shuffle of raw data), the same one-scan rollup the digest family
+    uses. Exact mode at test SFs makes every level SQL-exact."""
+    from t_digest_spark.sketches.spark import (theta_aggregate, theta_merge,
+                                               theta_estimate_udf)
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"), "event_type", "user_id"))
+    fine = theta_aggregate(ev, "user_id", ["day", "event_type"], k=4096).cache()
+    est = theta_estimate_udf()
+    lvl_fine = fine.select(
+        "day", "event_type", est("retained", "theta", "k").alias("e"))
+    lvl_day = theta_merge(fine, ["day"], k=4096).select(
+        "day", F.lit("ALL").alias("event_type"),
+        est("retained", "theta", "k").alias("e"))
+    lvl_all = theta_merge(fine, [], k=4096).select(
+        F.lit("ALL").alias("day"), F.lit("ALL").alias("event_type"),
+        est("retained", "theta", "k").alias("e"))
+    out = lvl_fine.unionByName(lvl_day).unionByName(lvl_all)
+    return out.select("day", "event_type",
+                      F.col("e").cast("long").alias("distinct_users"))
+
+
 def q_sampled_user_events(spark, sf_dir):
     """Entity-consistent 20% sample: keep every event of a user iff
     md5(user_id) falls under the fraction threshold — a pure codegen
@@ -1460,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "kll_exact_orders": q_kll_exact_orders,
         "bloom_orders_custkeys": q_bloom_orders_custkeys,
+        "theta_rollup_users": q_theta_rollup_users,
         "sampled_user_events": q_sampled_user_events,
         "stratified_doc_sample": q_stratified_doc_sample,
         "decontaminate_docs": q_decontaminate_docs,
@@ -1850,6 +1877,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
                    true AS p9999_ok
             FROM lineitem
+        """,
+        "theta_rollup_users": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   cast(count(DISTINCT user_id) as bigint) AS distinct_users
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL',
+                   cast(count(DISTINCT user_id) as bigint)
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', 'ALL', cast(count(DISTINCT user_id) as bigint)
+            FROM events
         """,
         "sampled_user_events": """
             SELECT event_type, cast(count(*) as bigint) AS n_events,
