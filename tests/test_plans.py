@@ -208,3 +208,33 @@ def test_bottomk_sample_partial_no_shuffle(spark):
     pre_merge = plan[plan.index("MapInPandas"):]
     assert "Exchange" not in pre_merge
     assert "md5" in pre_merge                      # hash computed JVM-side
+
+
+def test_theta_binary_op_broadcasts_sketch_rows(spark):
+    """Set-algebra joins move sketch rows (<= k longs), never raw keys —
+    the plan must broadcast the second operand."""
+    from t_digest_spark.sketches.spark import theta_aggregate, theta_binary_op
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = theta_aggregate(ev, "user_id", ["event_type"], k=256)
+    a = sk.where("event_type = 'click'").drop("event_type")
+    b = sk.where("event_type = 'view'").drop("event_type")
+    plan = _plan(theta_binary_op(a, b, "intersect"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_theta_rollup_reuses_fine_sketches(spark):
+    """Coarser rollup levels merge the tiny fine-grained sketch rows; no
+    second scan of the raw table appears in the day-level plan."""
+    from t_digest_spark.sketches.spark import theta_aggregate, theta_merge
+    import pyspark.sql.functions as F
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"), "event_type", "user_id"))
+    fine = theta_aggregate(ev, "user_id", ["day", "event_type"], k=256).cache()
+    fine.count()   # materialize the cache
+    plan = _plan(theta_merge(fine, ["day"], k=256))
+    # InMemoryTableScan = the merge reads cached sketch rows. (The cached
+    # relation's DEFINITION still prints its parquet scan inside the plan
+    # string, but it does not re-execute once materialized.)
+    assert "InMemoryTableScan" in plan
+    fine.unpersist()
