@@ -26,6 +26,25 @@ import numpy as np
 import pyspark.sql.functions as F
 
 
+def _cpu_snap():
+    """First /proc/stat line as a list of jiffies (user nice system idle
+    iowait irq softirq steal ...)."""
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except Exception:
+        return None
+
+
+def _steal_pct(a, b) -> float:
+    """Percent of total CPU time stolen by the hypervisor between two
+    snapshots — integrated over the whole interval, so it is robust to the
+    minute-scale steal bursts that defeat point-in-time canaries."""
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot and len(d) > 7 else 0.0
+
+
 def _kernel_burn():
     """One digest build over 1M points — the 8-proc canary workload (module
     level so fork+pickle work everywhere)."""
@@ -72,6 +91,7 @@ def run_flagship(spark, sf_dir: str) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpu0 = _cpu_snap()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -220,6 +240,8 @@ def main():
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         "kernel_pts_per_sec_single_core": kernel_pts_per_sec,
         "kernel_pts_per_sec_8proc": kernel_pts_per_sec_8proc,
+        "host_steal_pct_during_run": (
+            _steal_pct(cpu0, _cpu_snap()) if cpu0 else None),
         "flagship_digest_rows_per_sec": round(flagship["throughput_rows_per_sec"], 1),
         "flagship_wall_sec": flagship["wall_sec"] and round(flagship["wall_sec"], 3),
         "rank_error": flagship["rank_error"],
