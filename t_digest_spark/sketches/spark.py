@@ -372,21 +372,29 @@ def req_quantile_udf(q: float, k: int = 12, hra: bool = True):
 THETA_FIELDS = "retained array<bigint>, theta bigint, k int"
 
 
-def theta_aggregate(df: DataFrame, key_col: str,
+def theta_aggregate(df: DataFrame, key_col,
                     group_cols: Optional[Sequence[str]] = None,
                     k: int = 4096) -> DataFrame:
     """One theta (bottom-k) distinct sketch per group.
 
-    Keys hash JVM-side (``shiftrightunsigned(xxhash64(key), 1)`` — codegen,
-    uniform over [0, 2^63)); partitions contribute <= k+1 longs each to the
-    final merge, so the shuffle is O(partitions * k) no matter the row
-    count. Unlike HLL, the result supports intersection / A-not-B
+    ``key_col`` may be a single column name or a list of names — a list
+    counts distinct TUPLES (xxhash64 hashes all columns jointly; rows with
+    any NULL key part are dropped, matching COUNT(DISTINCT a, b)).
+
+    Keys hash JVM-side (``shiftrightunsigned(xxhash64(keys...), 1)`` —
+    codegen, uniform over [0, 2^63)); partitions contribute <= k+1 longs
+    each to the final merge, so the shuffle is O(partitions * k) no matter
+    the row count. Unlike HLL, the result supports intersection / A-not-B
     (theta_binary_op)."""
     from t_digest_spark.sketches.theta import ThetaSketch
     group_cols = list(group_cols or [])
-    proj = (df.where(F.col(key_col).isNotNull())
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    keep = F.lit(True)
+    for c in key_cols:
+        keep = keep & F.col(c).isNotNull()
+    proj = (df.where(keep)
               .select(*group_cols,
-                      F.shiftrightunsigned(F.xxhash64(key_col), 1)
+                      F.shiftrightunsigned(F.xxhash64(*key_cols), 1)
                       .alias("__h__")))
     schema = _group_prefix(proj, group_cols) + THETA_FIELDS
     out_cols = ["retained", "theta", "k"]

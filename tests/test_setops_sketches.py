@@ -293,3 +293,20 @@ class TestEdgeCases:
         out = digest_rank_lookup(df, digests, "x", ["g"]).toPandas()
         assert out[out.g == "1"]["rank_est"].isna().all()
         assert out[out.g == "0"]["rank_est"].notna().all()
+
+
+def test_theta_multi_column_tuples(spark):
+    """key_col as a list counts distinct TUPLES, matching
+    COUNT(DISTINCT a, b) incl. the any-NULL-drops-row convention."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.sketches.spark import (theta_aggregate,
+                                               theta_estimate_udf)
+    df = spark.range(0, 9_000).select(
+        (F.col("id") % 40).alias("a"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 11).alias("b"))
+    sk = theta_aggregate(df, ["a", "b"], None, k=4096)
+    got = sk.select(theta_estimate_udf()("retained", "theta", "k")
+                    .alias("e")).collect()[0]["e"]
+    exact = (df.where("b IS NOT NULL").select("a", "b").distinct().count())
+    assert got == float(exact)
