@@ -430,3 +430,77 @@ def frequent_stream_aggregate(df: DataFrame, key_col: str,
     return (df.groupBy(*group_cols)
             .applyInPandasWithState(update, out_schema, FI_STATE_SCHEMA,
                                     "update", timeout))
+
+
+REQ_STATE_SCHEMA = StructType([
+    StructField("items", ArrayType(DoubleType())),
+    StructField("offsets", ArrayType(LongType())),
+    StructField("states", ArrayType(LongType())),
+    StructField("rmin", DoubleType()),
+    StructField("rmax", DoubleType()),
+    StructField("count", DoubleType()),
+])
+
+
+def req_stream_aggregate(df: DataFrame, value_col: str,
+                         group_cols: Sequence[str], k: int = 12,
+                         hra: bool = True,
+                         window_col: Optional[str] = None,
+                         allowed_lateness_ms: int = 0) -> DataFrame:
+    """Stateful per-key REQ sketch over a streaming DataFrame — RELATIVE
+    rank error concentrated in the tail, i.e. streaming p999/p9999 latency
+    per window, completing the stateful accumulator family (digest, KLL,
+    histogram, theta, frequent-items, REQ). Emitted rows are mergeable
+    with batch req_aggregate rows and feed req_quantile_udf unchanged.
+
+    Same windowed state lifecycle as the other stateful accumulators."""
+    from t_digest_spark.sketches.req import ReqSketch
+
+    group_cols = list(group_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([by_name[c] for c in group_cols])
+    for name, typ in (("items", ArrayType(DoubleType())),
+                      ("offsets", ArrayType(LongType())),
+                      ("states", ArrayType(LongType())),
+                      ("rmin", DoubleType()), ("rmax", DoubleType()),
+                      ("count", DoubleType())):
+        out_schema = out_schema.add(name, typ)
+    timeout = (GroupStateTimeout.EventTimeTimeout if window_col
+               else GroupStateTimeout.NoTimeout)
+    win_idx = group_cols.index(window_col) if window_col else -1
+
+    def update(key, pdfs, state: GroupState):
+        if window_col and state.hasTimedOut:
+            state.remove()
+            return
+        if window_col:
+            end_ms = _window_end_ms(key[win_idx])
+            wm = state.getCurrentWatermarkMs()
+            if wm > 0 and end_ms + allowed_lateness_ms <= wm and not state.exists:
+                for _ in pdfs:      # drain: late rows for an expired window
+                    pass
+                return
+        s = ReqSketch(k, hra)
+        if state.exists:
+            items, offsets, states_l, rmin, rmax, count = state.get
+            s = ReqSketch.from_row(items, offsets, states_l, rmin, rmax,
+                                   count, k=k, hra=hra)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                s.update_values(vals)
+        items, offsets, states_l, mn, mx, n = s.to_row()
+        row = ([float(x) for x in items], [int(o) for o in offsets],
+               [int(st) for st in states_l], float(mn), float(mx), float(n))
+        state.update(row)
+        if window_col:
+            wm = state.getCurrentWatermarkMs()
+            end_ms = _window_end_ms(key[win_idx])
+            state.setTimeoutTimestamp(max(end_ms + allowed_lateness_ms, wm + 1))
+        yield pd.DataFrame([tuple(key) + row],
+                           columns=[f.name for f in out_schema.fields])
+
+    return (df.groupBy(*group_cols)
+            .applyInPandasWithState(update, out_schema, REQ_STATE_SCHEMA,
+                                    "update", timeout))

@@ -493,3 +493,48 @@ def test_frequent_stream_matches_batch(spark):
         assert s.estimate("7") <= true7 <= s.estimate("7") + s.max_error
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_req_stream_matches_batch(spark):
+    """Streaming REQ over two micro-batches: exact count, tail quantile
+    within the relative-rank envelope, and mergeable with the batch row
+    format."""
+    from t_digest_spark.sketches.req import ReqSketch
+    from t_digest_spark.streaming import req_stream_aggregate
+
+    rng = np.random.default_rng(23)
+    b1 = pd.DataFrame({"g": "a", "x": rng.gamma(2.0, 3.0, 30_000)})
+    b2 = pd.DataFrame({"g": "a", "x": rng.gamma(2.0, 3.0, 20_000)})
+    work = tempfile.mkdtemp(prefix="req_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        _write_batch(spark, in_dir, b1, "b1")
+        stream = (spark.readStream.schema("g string, x double")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        sk = req_stream_aggregate(stream, "x", ["g"], k=12, hra=True)
+        q = (sk.writeStream.format("memory").queryName("req_stream")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+            _write_batch(spark, in_dir, b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = None
+        for r in spark.sql("select * from req_stream").collect():
+            latest = r
+        s = ReqSketch.from_row(latest["items"], latest["offsets"],
+                               latest["states"], latest["rmin"],
+                               latest["rmax"], latest["count"], k=12, hra=True)
+        assert s.n == 50_000
+        allx = np.sort(np.concatenate([b1.x.to_numpy(), b2.x.to_numpy()]))
+        for qq in (0.99, 0.999):
+            est = s.quantile(qq)
+            # rank of the estimate must be within ~4% RELATIVE rank error
+            rank = np.searchsorted(allx, est) / allx.size
+            assert abs(rank - qq) <= 0.04 * (1 - qq) + 2 / allx.size + 0.004
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
