@@ -310,3 +310,19 @@ def test_theta_multi_column_tuples(spark):
                     .alias("e")).collect()[0]["e"]
     exact = (df.where("b IS NOT NULL").select("a", "b").distinct().count())
     assert got == float(exact)
+
+
+def test_theta_merge_mismatched_k():
+    """Merging sketches built with different k degrades gracefully to the
+    coarser resolution (theta = min) and keeps the union contract."""
+    rng = np.random.default_rng(31)
+    hs_a = rng.integers(0, THETA_MAX, 50_000, dtype=np.int64)
+    hs_b = rng.integers(0, THETA_MAX, 50_000, dtype=np.int64)
+    a = ThetaSketch(k=4096); a.update_hashes(hs_a)
+    b = ThetaSketch(k=512); b.update_hashes(hs_b)
+    m = ThetaSketch.union_all([a, b], k=512)
+    m2 = ThetaSketch.union_all([b, a], k=512)
+    assert np.array_equal(m.retained, m2.retained) and m.theta == m2.theta
+    true = len(set(hs_a) | set(hs_b))
+    rse = 1.0 / np.sqrt(m.retained.size - 1)
+    assert abs(m.estimate() - true) <= 5 * rse * true
