@@ -16,12 +16,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "t-digest-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
-              arrow_batch_size: int = 65536) -> SparkSession:
+              arrow_batch_size: int = 65536,
+              extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus if str(cpus).isdigit() else 32)
+    builder = SparkSession.builder
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
     return (
-        SparkSession.builder.master(master)
+        builder.master(master)
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -10,6 +10,11 @@ catalog provides (snapshot isolation, hidden partitioning, metadata-pruned
 scans). Without one (this sandbox ships no Iceberg jars — checked
 /opt/spark/jars), the driver's parquet layout (TESTDATA.md) is read
 directly; Catalyst still gets pushdown/pruning from the parquet source.
+
+The catalog mode is EXECUTED in CI against Spark's built-in
+``spark_catalog`` (V2SessionCatalog) with external parquet tables
+(tests/test_sources.py) — the same 3-part-identifier resolution an
+Iceberg SparkSessionCatalog deployment hits; only the jars differ.
 """
 
 from __future__ import annotations
