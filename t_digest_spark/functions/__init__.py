@@ -132,13 +132,8 @@ def register_sql_functions(spark, delta: float = 100.0, scale: str = "k2"):
             for it, off, mn, mx, n, qq
             in zip(items, offsets, kmin, kmax, count, q)])
 
-    @pandas_udf("double")
-    def theta_estimate(retained: pd.Series, theta: pd.Series,
-                       k: pd.Series) -> pd.Series:
-        from t_digest_spark.sketches.theta import ThetaSketch
-        return pd.Series([
-            ThetaSketch.from_row(r, t, kk).estimate()
-            for r, t, kk in zip(retained, theta, k)])
+    from t_digest_spark.sketches.spark import theta_estimate_udf
+    theta_estimate = theta_estimate_udf()    # single implementation, reused
 
     @pandas_udf("bigint")
     def frequent_estimate(keys: pd.Series, counts: pd.Series,

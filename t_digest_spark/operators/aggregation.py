@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from t_digest_spark.core import TDigest, merge_arrays
+from t_digest_spark.sketches.spark import _factorize_groups
 from t_digest_spark.scales import get_scale
 from t_digest_spark.serde import DIGEST_FIELDS, digest_schema, digest_to_cells
 
@@ -92,9 +93,7 @@ def tdigest_partial_build(df: DataFrame, value_col: str,
             wts = (pdf[weight_col].to_numpy(dtype=np.float64, copy=False)
                    if weight_col else None)
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     mask = codes == gi
                     key = uniques[gi]
@@ -304,9 +303,7 @@ def avltree_aggregate(df: DataFrame, value_col: str,
         for pdf in batches:
             vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     d = digests.get(key)

@@ -73,7 +73,9 @@ def digest_rank_lookup(df: DataFrame, digest_df: DataFrame, value_col: str,
                 m = codes == gi
                 out[m] = _interp_rank(x[m], tab)
         else:
-            out[:] = _interp_rank(x, tabs[()])
+            tab = tabs.get(())
+            if tab is not None:          # empty digest_df -> all-NaN, not a crash
+                out[:] = _interp_rank(x, tab)
         return pd.Series(out)
 
     args = [F.col(c) for c in group_cols] + [F.col(value_col).cast("double")]

@@ -33,14 +33,24 @@ def sample_threshold(fraction: float) -> str:
     return format(int(fraction * (1 << 128)), "032x")
 
 
+_NULL_SENTINEL = "~~null_key~~"
+
+
+def _key_expr(key_col: str, seed: Optional[str]) -> Column:
+    # NULL keys form ONE shared entity (md5(NULL) is NULL, which would
+    # silently drop the rows — even at fraction=1.0): all null-key rows are
+    # kept or dropped together, deterministically per (fraction, seed).
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_SENTINEL))
+    if seed:
+        key = F.concat(key, F.lit(seed))
+    return key
+
+
 def sample_predicate(key_col: str, fraction: float,
                      seed: Optional[str] = None) -> Column:
     """The keep-predicate as a Column — reusable across tables so entity
     samples stay consistent."""
-    key = F.col(key_col).cast("string")
-    if seed:
-        key = F.concat(key, F.lit(seed))
-    return F.md5(key) < F.lit(sample_threshold(fraction))
+    return F.md5(_key_expr(key_col, seed)) < F.lit(sample_threshold(fraction))
 
 
 def consistent_sample(df: DataFrame, key_col: str, fraction: float,
@@ -57,10 +67,7 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
     strata, so a key sampled in one stratum at fraction f is also sampled
     anywhere its stratum's fraction >= f (nesting carries over). Still a
     pure pushdown-friendly filter — no shuffle, no state."""
-    key = F.col(key_col).cast("string")
-    if seed:
-        key = F.concat(key, F.lit(seed))
-    h = F.md5(key)
+    h = F.md5(_key_expr(key_col, seed))
     expr = F.lit(sample_threshold(default))
     for stratum, frac in sorted(fractions.items()):
         expr = F.when(F.col(strata_col) == stratum,

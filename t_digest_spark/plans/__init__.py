@@ -21,11 +21,8 @@ def get_spark(app_name: str = "t-digest-spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus if str(cpus).isdigit() else 32)
-    builder = SparkSession.builder
-    for key, val in (extra_conf or {}).items():
-        builder = builder.config(key, val)
-    return (
-        builder.master(master)
+    builder = (
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -36,5 +33,8 @@ def get_spark(app_name: str = "t-digest-spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # extra_conf applies LAST so caller overrides of the baked-in keys win
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    return builder.getOrCreate()

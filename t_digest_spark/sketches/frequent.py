@@ -40,10 +40,17 @@ class FrequentItemsSketch:
 
     def update_counts(self, keys: Sequence[str],
                       counts: Sequence[int]) -> None:
-        """Bulk update from pre-aggregated (key, count) pairs."""
+        """Bulk update from pre-aggregated (key, count) pairs. Weights must
+        be positive: zero-weight entries are skipped (they would defeat the
+        prune's cut>0 early-return and let the dict grow past k), negative
+        weights are rejected — MG has no delete semantics."""
         c = self.counters
         for key, w in zip(keys, counts):
             w = int(w)
+            if w < 0:
+                raise ValueError("frequent-items weights must be >= 0")
+            if w == 0:
+                continue
             self.n += w
             c[key] = c.get(key, 0) + w
         if len(c) > self.k:

@@ -32,6 +32,32 @@ KLL_FIELDS = ("items array<double>, offsets array<int>, kmin double, "
               "kmax double, count double")
 
 
+
+def _norm_group_val(v):
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _factorize_groups(pdf: pd.DataFrame, group_cols):
+    """Batch group dispatch with Spark-groupBy NULL semantics: NULL group
+    values form their OWN group (use_na_sentinel=False) instead of being
+    silently dropped, and are normalized to None so per-sketch dict state
+    survives across batches (NaN != NaN would otherwise fork the state)."""
+    if len(group_cols) > 1:
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_frame(pdf[group_cols]), use_na_sentinel=False)
+        vals = [tuple(_norm_group_val(x) for x in u) for u in uniques]
+    else:
+        codes, uniques = pd.factorize(pdf[group_cols[0]],
+                                      use_na_sentinel=False)
+        vals = [_norm_group_val(u) for u in uniques]
+    return codes, vals
+
+
 def _group_prefix(df: DataFrame, group_cols: List[str]) -> str:
     by_name = {f.name: f for f in df.schema.fields}
     parts = [f"{c} {by_name[c].dataType.simpleString()}" for c in group_cols]
@@ -54,10 +80,7 @@ def kll_partial_build(df: DataFrame, value_col: str,
         for pdf in batches:
             vals = pdf["__x__"].to_numpy(dtype=np.float64)
             if group_cols:
-                gframe = pdf[group_cols]
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(gframe)
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     s = sketches.get(key)
@@ -154,9 +177,7 @@ def countmin_aggregate(df: DataFrame, key_col: str,
             hs = pdf["__h__"].to_numpy(dtype=np.int64)
             ws = pdf["__w__"].to_numpy(dtype=np.int64) if weight_col else None
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     s = sk.get(key)
@@ -311,9 +332,7 @@ def req_aggregate(df: DataFrame, value_col: str,
         for pdf in batches:
             vals = pdf["__x__"].to_numpy(dtype=np.float64)
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     s = sk.get(key)
@@ -404,9 +423,7 @@ def theta_aggregate(df: DataFrame, key_col,
         for pdf in batches:
             hs = pdf["__h__"].to_numpy(dtype=np.int64)
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     s = sk.get(key)
@@ -488,7 +505,13 @@ def theta_binary_op(a_df: DataFrame, b_df: DataFrame, op: str,
     ``intersect`` / ``a_not_b``. Sketch rows are tiny (<= k longs), so the
     join is a broadcast-scale equi-join on the group key (or a single-row
     cross for global sketches); the op itself is a vectorized batch UDF.
-    Result columns are again ``retained, theta, k`` — composable."""
+    Result columns are again ``retained, theta, k`` — composable.
+
+    The join is FULL OUTER: a group present in only one operand meets an
+    empty exact-mode sketch on the other side (union/a_not_b then return
+    the present sketch; intersect returns the empty sketch) instead of
+    being silently dropped. Global mode outer-joins on a dummy key, so
+    an empty operand DataFrame behaves the same way."""
     from t_digest_spark.sketches.theta import ThetaSketch
     ops = {"union": lambda a, b: ThetaSketch.union_all([a, b], k=max(a.k, b.k)),
            "intersect": ThetaSketch.intersect, "a_not_b": ThetaSketch.a_not_b}
@@ -496,22 +519,36 @@ def theta_binary_op(a_df: DataFrame, b_df: DataFrame, op: str,
         raise ValueError(f"op must be one of {sorted(ops)}")
     fn = ops[op]
     join_cols = list(join_cols or [])
+    a_ren = a_df.select(
+        *join_cols, F.col("retained").alias("__ra__"),
+        F.col("theta").alias("__ta__"), F.col("k").alias("__ka__"))
     b_ren = b_df.select(
         *join_cols, F.col("retained").alias("__rb__"),
         F.col("theta").alias("__tb__"), F.col("k").alias("__kb__"))
-    joined = (a_df.join(F.broadcast(b_ren), join_cols) if join_cols
-              else a_df.crossJoin(F.broadcast(b_ren)))
+    if not join_cols:
+        a_ren = a_ren.withColumn("__j__", F.lit(1))
+        b_ren = b_ren.withColumn("__j__", F.lit(1))
+    joined = a_ren.join(b_ren, join_cols or ["__j__"], "full_outer")
+
+    def _side(r, t, kk, other_k):
+        if r is None:                  # absent group -> empty exact sketch
+            return ThetaSketch(int(other_k))
+        return ThetaSketch.from_row(r, t, kk)
 
     @pandas_udf(f"struct<{THETA_FIELDS}>")
     def _op(ra: pd.Series, ta: pd.Series, ka: pd.Series,
             rb: pd.Series, tb: pd.Series, kb: pd.Series) -> pd.DataFrame:
-        rows = [fn(ThetaSketch.from_row(r1, t1, k1),
-                   ThetaSketch.from_row(r2, t2, k2)).to_row()
-                for r1, t1, k1, r2, t2, k2 in zip(ra, ta, ka, rb, tb, kb)]
+        rows = []
+        for r1, t1, k1, r2, t2, k2 in zip(ra, ta, ka, rb, tb, kb):
+            ka_eff = k1 if r1 is not None else k2
+            kb_eff = k2 if r2 is not None else k1
+            rows.append(fn(_side(r1, t1, k1, ka_eff),
+                           _side(r2, t2, k2, kb_eff)).to_row())
         return pd.DataFrame(rows, columns=["retained", "theta", "k"])
 
     res = joined.withColumn(
-        "__res__", _op("retained", "theta", "k", "__rb__", "__tb__", "__kb__"))
+        "__res__",
+        _op("__ra__", "__ta__", "__ka__", "__rb__", "__tb__", "__kb__"))
     return res.select(*join_cols, F.col("__res__.retained").alias("retained"),
                       F.col("__res__.theta").alias("theta"),
                       F.col("__res__.k").alias("k"))
@@ -544,9 +581,7 @@ def frequent_aggregate(df: DataFrame, key_col: str,
         sk, keys = {}, {}
         for pdf in batches:
             if group_cols:
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[group_cols])
-                    if len(group_cols) > 1 else pdf[group_cols[0]])
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     s = sk.get(key)
@@ -656,9 +691,7 @@ def bottomk_distinct_sample(df: DataFrame, key_col: str,
         acc = {}
         for pdf in batches:
             if group_cols:
-                gframe = (pd.MultiIndex.from_frame(pdf[group_cols])
-                          if len(group_cols) > 1 else pdf[group_cols[0]])
-                codes, uniques = pd.factorize(gframe)
+                codes, uniques = _factorize_groups(pdf, group_cols)
                 for gi in range(len(uniques)):
                     key = uniques[gi]
                     head = key if len(group_cols) > 1 else (key,)

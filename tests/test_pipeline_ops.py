@@ -583,3 +583,22 @@ def test_stratified_sample(spark):
     flat50 = {r.doc_id for r in
               consistent_sample(df, "doc_id", 0.5).select("doc_id").collect()}
     assert en_ids <= flat50
+
+
+def test_consistent_sample_null_keys(spark):
+    """NULL keys form one shared entity: kept at fraction 1.0 (no silent
+    drop), all-or-nothing at intermediate fractions, dropped at 0.0."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.operators import consistent_sample, stratified_sample
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        .alias("user_id"), (F.col("id") % 3).cast("string").alias("lang"))
+    n_null = df.where("user_id IS NULL").count()
+    assert consistent_sample(df, "user_id", 1.0).count() == 1000
+    assert consistent_sample(df, "user_id", 0.0).count() == 0
+    kept_nulls = (consistent_sample(df, "user_id", 0.5)
+                  .where("user_id IS NULL").count())
+    assert kept_nulls in (0, n_null)          # one shared fate
+    strat = stratified_sample(df, "user_id", "lang",
+                              {"0": 1.0, "1": 1.0, "2": 1.0})
+    assert strat.count() == 1000

@@ -326,3 +326,64 @@ def test_theta_merge_mismatched_k():
     true = len(set(hs_a) | set(hs_b))
     rse = 1.0 / np.sqrt(m.retained.size - 1)
     assert abs(m.estimate() - true) <= 5 * rse * true
+
+
+def test_null_groups_form_their_own_group(spark):
+    """NULL group values get their own sketch row (Spark groupBy
+    semantics), not silent dropping — across KLL, theta, and the digest."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.operators import tdigest_aggregate
+    from t_digest_spark.sketches.spark import (kll_aggregate,
+                                               theta_aggregate,
+                                               theta_estimate_udf)
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            (F.col("id") % 2).cast("string")).alias("g"),
+        (F.col("id") % 97).alias("key"),
+        F.col("id").cast("double").alias("x"))
+    th = theta_aggregate(df, "key", ["g"], k=1024)
+    rows = {r["g"]: r for r in th.select(
+        "g", theta_estimate_udf()("retained", "theta", "k").alias("e"))
+        .collect()}
+    assert set(rows) == {None, "0", "1"}
+    exact_null = (df.where("g IS NULL").select("key").distinct().count())
+    assert rows[None]["e"] == float(exact_null)
+    kll_groups = {r["g"] for r in kll_aggregate(df, "x", ["g"]).collect()}
+    assert None in kll_groups
+    dig_groups = {r["g"] for r in tdigest_aggregate(df, "x", ["g"]).collect()}
+    assert None in dig_groups
+
+
+def test_theta_binary_op_one_sided_groups(spark):
+    """Groups present in only one operand survive union/a_not_b (full-outer
+    semantics); intersect with an absent side is empty, not missing."""
+    import pyspark.sql.functions as F
+    from t_digest_spark.sketches.spark import (theta_aggregate,
+                                               theta_binary_op,
+                                               theta_estimate_udf)
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 500).alias("key"))
+    a = theta_aggregate(df.where("g < 3"), "key", ["g"], k=2048)   # g=0,1,2
+    b = theta_aggregate(df.where("g > 1"), "key", ["g"], k=2048)   # g=2,3
+    est = theta_estimate_udf()
+
+    def ests(res):
+        return {r["g"]: r["e"] for r in
+                res.select("g", est("retained", "theta", "k").alias("e"))
+                .collect()}
+    uni = ests(theta_binary_op(a, b, "union", ["g"]))
+    assert set(uni) == {0, 1, 2, 3}           # one-sided groups kept
+    exact0 = df.where("g = 0").select("key").distinct().count()
+    assert uni[0] == float(exact0)
+    anb = ests(theta_binary_op(a, b, "a_not_b", ["g"]))
+    assert anb[0] == float(exact0)            # b absent -> A unchanged
+    assert anb[3] == 0.0                      # a absent -> empty
+    inter = ests(theta_binary_op(a, b, "intersect", ["g"]))
+    assert inter[0] == 0.0 and inter[3] == 0.0
+    # global mode with an EMPTY operand: union keeps A
+    ga = theta_aggregate(df, "key", None, k=2048)
+    gb = theta_aggregate(df.where("g > 99"), "key", None, k=2048)  # empty
+    guni = theta_binary_op(ga, gb, "union").select(
+        est("retained", "theta", "k").alias("e")).collect()
+    assert len(guni) == 1
+    assert guni[0]["e"] == float(df.select("key").distinct().count())
