@@ -140,6 +140,14 @@ def main():
         except Exception as e:  # a broken query shouldn't zero the whole bench
             print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
             timings[name] = None
+        # Queries are independent: drop any DataFrames a query cached so
+        # storage memory doesn't accumulate across the suite (a leaked
+        # .cache() from query 10 otherwise taxes queries 11..57 with
+        # eviction pressure and GC — an in-suite artifact, not engine cost).
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     try:
         flagship = run_flagship(spark, sf_dir)
