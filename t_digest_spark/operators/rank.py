@@ -38,6 +38,8 @@ def digest_rank_lookup(df: DataFrame, digest_df: DataFrame, value_col: str,
     """Add ``out_col`` = approximate mid-rank of ``value_col`` within its
     group's digest (0..1). ``digest_df`` is the output of
     tdigest_aggregate over the same grouping."""
+    from t_digest_spark.sketches.spark import _factorize_groups
+
     group_cols = list(group_cols or [])
     rows = digest_df.collect()        # one row per group — bounded, by design
     qs = np.linspace(0.0, 1.0, grid + 1)
@@ -47,11 +49,16 @@ def digest_rank_lookup(df: DataFrame, digest_df: DataFrame, value_col: str,
                               delta, scale)
         vals = d.quantiles(qs)
         # np.interp needs strictly increasing xp: collapse flat runs (ties /
-        # constant stretches), keeping the LAST grid point of each run so a
-        # value at the plateau maps to the top of its tied mass
-        keep = np.r_[vals[1:] != vals[:-1], True]
+        # constant stretches) to ONE point at the MID-rank of the run
+        # ((q_first + q_last)/2) — the Dist.cdf mid-rank convention — so a
+        # value on a tie plateau maps to the middle of its tied mass, not
+        # the top (error would otherwise reach the full plateau mass).
+        change = np.r_[True, vals[1:] != vals[:-1]]     # run starts
+        starts = np.nonzero(change)[0]
+        last_idx = np.r_[starts[1:] - 1, vals.size - 1]  # run ends
         key = tuple(r[c] for c in group_cols)
-        tables[key] = (vals[keep], qs[keep], float(r["dmin"]), float(r["dmax"]))
+        tables[key] = (vals[starts], (qs[starts] + qs[last_idx]) / 2.0,
+                       float(r["dmin"]), float(r["dmax"]))
     bc = df.sparkSession.sparkContext.broadcast(tables)
 
     @pandas_udf("double")
@@ -60,13 +67,16 @@ def digest_rank_lookup(df: DataFrame, digest_df: DataFrame, value_col: str,
         x = cols[-1].to_numpy(dtype=np.float64)
         out = np.full(x.size, np.nan)
         if group_cols:
-            gframe = pd.DataFrame({i: c for i, c in enumerate(cols[:-1])})
-            codes, uniques = pd.factorize(
-                pd.MultiIndex.from_frame(gframe) if len(group_cols) > 1
-                else cols[0])
+            gframe = pd.DataFrame({c: cols[i].to_numpy(dtype=object)
+                                   for i, c in enumerate(group_cols)})
+            # Spark-groupBy NULL semantics (shared with the sketch layer):
+            # NULL groups form their own group and normalize to None, so
+            # NULL-key rows look up the (None, ...) digest instead of
+            # unconditionally getting NaN rank.
+            codes, uniques = _factorize_groups(gframe, group_cols)
             for gi in range(len(uniques)):
                 u = uniques[gi]
-                key = tuple(u) if len(group_cols) > 1 else (u,)
+                key = u if len(group_cols) > 1 else (u,)
                 tab = tabs.get(key)
                 if tab is None:
                     continue

@@ -1,6 +1,6 @@
 """Deterministic, entity-consistent Bernoulli sampling.
 
-``consistent_sample`` keeps a row iff ``md5(cast(key as string)) <
+``consistent_sample`` keeps a row iff ``md5('k:' || cast(key as string)) <
 threshold(fraction)`` — a pure function of the key, so:
 
   * the same key samples identically in EVERY table (sample users in
@@ -33,14 +33,16 @@ def sample_threshold(fraction: float) -> str:
     return format(int(fraction * (1 << 128)), "032x")
 
 
-_NULL_SENTINEL = "~~null_key~~"
-
-
 def _key_expr(key_col: str, seed: Optional[str]) -> Column:
     # NULL keys form ONE shared entity (md5(NULL) is NULL, which would
     # silently drop the rows — even at fraction=1.0): all null-key rows are
     # kept or dropped together, deterministically per (fraction, seed).
-    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_SENTINEL))
+    # The encoding is INJECTIVE: real keys hash as 'k:<value>' and NULLs as
+    # the distinct marker 'null:' — ':' never ends a 'k:'-prefixed value's
+    # prefix, so no genuine string key can collide with the NULL entity
+    # (a literal sentinel string previously shared the NULL fate).
+    key = F.when(F.col(key_col).isNull(), F.lit("null:")).otherwise(
+        F.concat(F.lit("k:"), F.col(key_col).cast("string")))
     if seed:
         key = F.concat(key, F.lit(seed))
     return key

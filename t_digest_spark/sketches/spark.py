@@ -507,11 +507,16 @@ def theta_binary_op(a_df: DataFrame, b_df: DataFrame, op: str,
     cross for global sketches); the op itself is a vectorized batch UDF.
     Result columns are again ``retained, theta, k`` — composable.
 
-    The join is FULL OUTER: a group present in only one operand meets an
-    empty exact-mode sketch on the other side (union/a_not_b then return
-    the present sketch; intersect returns the empty sketch) instead of
-    being silently dropped. Global mode outer-joins on a dummy key, so
-    an empty operand DataFrame behaves the same way."""
+    The join is FULL OUTER with NULL-SAFE key equality: a group present in
+    only one operand meets an empty exact-mode sketch on the other side
+    (union/a_not_b then return the present sketch; intersect returns the
+    empty sketch) instead of being silently dropped, and a NULL group key
+    (theta_aggregate keys NULL groups as their own group) matches its NULL
+    counterpart rather than producing two half-blind duplicate rows.
+    Global mode outer-joins on a dummy key, so an empty operand DataFrame
+    behaves the same way."""
+    import functools
+    import operator as _operator
     from t_digest_spark.sketches.theta import ThetaSketch
     ops = {"union": lambda a, b: ThetaSketch.union_all([a, b], k=max(a.k, b.k)),
            "intersect": ThetaSketch.intersect, "a_not_b": ThetaSketch.a_not_b}
@@ -520,15 +525,28 @@ def theta_binary_op(a_df: DataFrame, b_df: DataFrame, op: str,
     fn = ops[op]
     join_cols = list(join_cols or [])
     a_ren = a_df.select(
-        *join_cols, F.col("retained").alias("__ra__"),
+        *[F.col(c).alias(f"__ga{i}__") for i, c in enumerate(join_cols)],
+        F.col("retained").alias("__ra__"),
         F.col("theta").alias("__ta__"), F.col("k").alias("__ka__"))
     b_ren = b_df.select(
-        *join_cols, F.col("retained").alias("__rb__"),
+        *[F.col(c).alias(f"__gb{i}__") for i, c in enumerate(join_cols)],
+        F.col("retained").alias("__rb__"),
         F.col("theta").alias("__tb__"), F.col("k").alias("__kb__"))
-    if not join_cols:
+    if join_cols:
+        cond = functools.reduce(_operator.and_, [
+            F.col(f"__ga{i}__").eqNullSafe(F.col(f"__gb{i}__"))
+            for i in range(len(join_cols))])
+        joined = a_ren.join(b_ren, cond, "full_outer")
+        # recover the group value from whichever side is present; when the
+        # true key is NULL both sides are NULL and coalesce stays NULL
+        joined = joined.select(
+            *[F.coalesce(F.col(f"__ga{i}__"), F.col(f"__gb{i}__")).alias(c)
+              for i, c in enumerate(join_cols)],
+            "__ra__", "__ta__", "__ka__", "__rb__", "__tb__", "__kb__")
+    else:
         a_ren = a_ren.withColumn("__j__", F.lit(1))
         b_ren = b_ren.withColumn("__j__", F.lit(1))
-    joined = a_ren.join(b_ren, join_cols or ["__j__"], "full_outer")
+        joined = a_ren.join(b_ren, ["__j__"], "full_outer")
 
     def _side(r, t, kk, other_k):
         if r is None:                  # absent group -> empty exact sketch

@@ -602,3 +602,14 @@ def test_consistent_sample_null_keys(spark):
     strat = stratified_sample(df, "user_id", "lang",
                               {"0": 1.0, "1": 1.0, "2": 1.0})
     assert strat.count() == 1000
+
+
+def test_sample_key_encoding_injective(spark):
+    """No genuine key value can collide with the NULL entity (or any other
+    key): real keys encode as 'k:<value>', NULL as the distinct 'null:'."""
+    from t_digest_spark.operators.sample import _key_expr
+    df = spark.createDataFrame(
+        [(None,), ("null:",), ("~~null_key~~",), ("k:x",), ("x",)],
+        "k string")
+    encoded = [r.e for r in df.select(_key_expr("k", None).alias("e")).collect()]
+    assert len(set(encoded)) == 5

@@ -70,8 +70,36 @@ def test_rank_lookup_tie_plateau(spark):
     digests = tdigest_aggregate(df, "x", None)
     out = digest_rank_lookup(df, digests, "x", None).toPandas()
     plateau = out[out.x == 10.0]["rank_est"]
-    assert (plateau <= 0.52).all()           # half the mass is the plateau
+    # mid-rank convention (Dist.cdf): the plateau is the first half of the
+    # mass, so its rank must sit near the MIDDLE of the tied mass (~0.25),
+    # not the top (~0.5) — review finding r3
+    assert (np.abs(plateau - 0.25) <= 0.06).all()
     upper = out[out.x > 20]["rank_est"]
     assert (upper >= 0.45).all()
     s = out.sort_values("x")["rank_est"].to_numpy()
     assert (np.diff(s) >= -1e-9).all()       # monotone in x
+
+
+def test_rank_lookup_null_group(spark):
+    """NULL group rows look up the (None,) digest (Spark groupBy keeps NULL
+    groups as their own group) instead of unconditionally getting NaN."""
+    from t_digest_spark.operators import tdigest_aggregate
+    from t_digest_spark.operators.rank import digest_rank_lookup
+    rng = np.random.default_rng(14)
+    pdf = pd.DataFrame({
+        "g": [None] * 10_000 + ["b"] * 10_000,
+        "x": np.concatenate([rng.uniform(0, 1, 10_000),
+                             rng.uniform(100, 200, 10_000)]),
+    })
+    df = spark.createDataFrame(pdf)
+    digests = tdigest_aggregate(df, "x", ["g"])
+    out = digest_rank_lookup(df, digests, "x", ["g"]).toPandas()
+    nulls = out[out.g.isna()]
+    assert not nulls["rank_est"].isna().any()
+    exact = _mid_rank(nulls["x"].to_numpy())
+    assert np.abs(nulls["rank_est"].to_numpy() - exact).max() < 0.015
+    # a group absent from digest_df still yields NaN (not a crash)
+    only_b = digests.where(F.col("g") == "b")
+    out2 = digest_rank_lookup(df, only_b, "x", ["g"]).toPandas()
+    assert out2[out2.g.isna()]["rank_est"].isna().all()
+    assert not out2[out2.g == "b"]["rank_est"].isna().any()
