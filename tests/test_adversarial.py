@@ -89,6 +89,60 @@ def test_attack_error_documented():
     assert worst < 1.0  # sanity ceiling only; typical normal-data bound is 0.015
 
 
+def _zoom_stream(K: int = 2, n_per_repeat: int = 6000,
+                 repeats: int = 3) -> np.ndarray:
+    """ZoomInPlotRelErrorTest.testZoomIn input cascade
+    (core/src/test/java/com/tdunning/math/stats/ZoomInPlotRelErrorTest.java
+    :38-92, defaults AdversarialAttackTest.java:49-52 scaled down): start
+    from an interval up to ~DBL_MAX, repeatedly zoom the interval down to
+    [0, smallest element >= MIN_NORMAL] and drop K+1 equi-spaced points in
+    each phase — the data ends up spanning ~600 decades with dense mass at
+    zero and in the subnormal range."""
+    data = []
+    tiny = np.finfo(np.float64).tiny          # Double.MIN_NORMAL
+    for r in range(repeats):
+        mx = np.finfo(np.float64).max / (100 * K + r + 1)
+        mn = 0.0
+        part = [mn + (i / (K + 1)) * (mx - mn) for i in range(1, K + 1)]
+        nn = K
+        while nn < n_per_repeat:
+            spart = np.sort(part)
+            idx = min(int(np.searchsorted(spart, tiny)), len(spart) - 1)
+            mx = float(spart[idx])
+            mn = 0.0
+            if (mx - mn) / (K + 1) < 5e-324 * (K + 1):
+                break                          # Java's "TOO SMALL max - min"
+            for i in range(0, K + 1):
+                part.append(mn + (i / (K + 1)) * (mx - mn))
+                nn += 1
+        data.extend(part)
+    return np.asarray(data, dtype=np.float64)
+
+
+@pytest.mark.parametrize("delta,cdf_tol", [(100.0, 0.15), (500.0, 0.05)])
+def test_zoom_in_cascade(delta, cdf_tol):
+    """The zoom-in cascade (mass at 0, subnormals, and ~1e305 in one
+    stream) must leave the digest fully functional: finite state, exact
+    min/max, monotone quantiles, the k-width invariant — and cdf
+    round-trip error within a documented envelope (measured 0.096 worst
+    at delta=100, 0.015 at delta=500)."""
+    data = _zoom_stream()
+    assert (data == 0).sum() > 0 and (np.abs(data[data != 0]) <
+                                      np.finfo(np.float64).tiny).sum() > 0
+    srt = np.sort(data)
+    d = TDigest.from_values(data, delta=delta, scale="k2")
+    d.compress()
+    assert np.isfinite(d.means).all() and np.isfinite(d.weights).all()
+    assert d.min == srt[0] and d.max == srt[-1]
+    qs = np.linspace(0.0, 1.0, 101)
+    est = d.quantiles(qs)
+    assert np.all(np.diff(est) >= 0.0)
+    d.check_weights()                          # raises on egregious dk
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        x = Dist.quantile(q, srt)
+        assert abs(d.cdf(x) - Dist.cdf(x, srt)) <= cdf_tol, (delta, q)
+
+
 def test_extreme_magnitude_merge():
     """Merging digests whose means sit near +-DBL_MAX/1e8 must not overflow
     (the pivoted weighted-average claim in core.py's module docstring)."""
