@@ -150,29 +150,49 @@ def main():
 
     bench_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                          key=_round_no)
-    prior_best = {}
-    for bf in bench_files:
+
+    def _load_parsed(path):
         try:
-            with open(bf) as f:
-                parsed = json.load(f).get("parsed") or {}
-            if parsed.get("sf") != sf:   # targets are only valid at same SF
-                continue
-            for k, v in (parsed.get("queries") or {}).items():
-                if v is not None and (k not in prior_best or v < prior_best[k]):
-                    prior_best[k] = v
+            with open(path) as f:
+                return json.load(f).get("parsed") or {}
         except Exception:
-            pass
+            return {}
+
+    # Targets come from the LATEST parseable round at the same SF (a round
+    # file whose driver-side JSON parse failed is skipped): per-query
+    # contracts deepen between rounds, so an all-round minimum would reach
+    # back to a shallower definition and retry queries that aren't slow.
+    prior_best = {}
+    prev_parsed = {}
+    for bf in reversed(bench_files):
+        parsed = _load_parsed(bf)
+        if parsed.get("sf") == sf and parsed.get("queries"):
+            prev_parsed = parsed
+            prev_name = os.path.basename(bf)
+            prior_best = {k: v for k, v in parsed["queries"].items()
+                          if v is not None}
+            break
     retry_factor = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
 
+    _canary_kv = []
+
     def _mini_canary() -> float:
         """1M-point single-core kernel rate — host-health probe for retry
-        bracketing (~0.15s; the same workload as the headline canary)."""
+        bracketing. Warmed like the headline canary (first-touch page
+        faults are pathological here and would otherwise dominate the
+        reading 30-50x), min of 2."""
         from t_digest_spark.core import TDigest
-        kv = np.random.default_rng(13).normal(0, 1, 1_000_000)
-        t0 = time.perf_counter()
-        TDigest.from_values(kv)
-        return round(len(kv) / (time.perf_counter() - t0), 1)
+        if not _canary_kv:
+            _canary_kv.append(np.random.default_rng(13).normal(0, 1, 1_000_000))
+            TDigest.from_values(_canary_kv[0][:100_000])   # warm path + pages
+        kv = _canary_kv[0]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            TDigest.from_values(kv)
+            best = min(best, time.perf_counter() - t0)
+        return round(len(kv) / best, 1)
 
     # Table caching (SPARK_GRAFT_CACHE_TABLES=1, read by __spark_entry__._t):
     # the suite re-reads the same handful of base tables dozens of times;
@@ -182,6 +202,13 @@ def main():
     # in the suite is sketch-row scale (hundreds of rows), which can live.
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
 
+    # Global retry wall-clock budget: in a uniformly degraded window nearly
+    # every query trips the 1.5x gate; without a cap the retries triple the
+    # suite. When the budget runs out, remaining slow queries record their
+    # first measurement with budget_exhausted=true (the suite-level canary
+    # triplet still certifies the window).
+    retry_budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET_SEC",
+                                        "180"))
     timings = {}
     retry_log = {}
     for name, fn in entrymod.queries().items():
@@ -198,12 +225,18 @@ def main():
                 entry = {"first_best": round(best, 3),
                          "target": target, "retries": [],
                          "canary_pts_per_sec": []}
+                if retry_budget <= 0:
+                    entry["budget_exhausted"] = True
                 for _ in range(max_retries):
+                    if retry_budget <= 0:
+                        break
+                    tb = time.perf_counter()
                     entry["canary_pts_per_sec"].append(_mini_canary())
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).collect()
                     dt = time.perf_counter() - t0
                     entry["retries"].append(round(dt, 3))
+                    retry_budget -= time.perf_counter() - tb
                     best = min(best, dt)
                     if best <= retry_factor * target:
                         break
@@ -266,17 +299,18 @@ def main():
     # (VERDICT r2 #8): the full-suite total moves when queries are added or
     # their contracts deepen, so also report the subtotal over the query
     # names common to the latest BENCH_r*.json.
+    # Compared against the LATEST PARSEABLE prior round at this SF (the
+    # same record the retry targets came from; a round whose driver-side
+    # parse failed — BENCH_r03's parsed is null — is skipped rather than
+    # producing an empty 0-query comparison).
     comparable = None
     try:
-        benches = bench_files   # numeric order: r3 < r10 < r100
-        if benches:
-            with open(benches[-1]) as f:
-                prev = json.load(f).get("parsed") or {}
-            prev_q = prev.get("queries") or {}
+        if prev_parsed:
+            prev_q = prev_parsed.get("queries") or {}
             common = [k for k in timings
                       if timings.get(k) is not None and prev_q.get(k) is not None]
             comparable = {
-                "vs": os.path.basename(benches[-1]),
+                "vs": prev_name,
                 "n_common": len(common),
                 "subtotal_now_sec": round(sum(timings[k] for k in common), 3),
                 "subtotal_prev_sec": round(sum(prev_q[k] for k in common), 3),
@@ -285,7 +319,7 @@ def main():
             # hypervisor steal varies 2-4x between windows; the single-core
             # kernel canary ratio is the host-speed ratio, so subtotal_now /
             # kernel_ratio is the engine-vs-engine comparison.
-            prev_kernel = prev.get("kernel_pts_per_sec_single_core")
+            prev_kernel = prev_parsed.get("kernel_pts_per_sec_single_core")
             if prev_kernel and kernel_pts_per_sec:
                 ratio = prev_kernel / kernel_pts_per_sec  # >1: host now slower
                 comparable["host_slowdown_vs_prev"] = round(ratio, 3)
