@@ -17,8 +17,9 @@ Spark-first layout:
     at the scan (partition pruning does the "inverted file" part).
   * **Query**: each query probes its ``nprobe`` nearest centroids; the
     candidate join is keyed on ``cell`` (bucketed, never all-pairs) and the
-    exact cosine re-rank is one einsum per Arrow batch
-    (similarity.cosine_pairs_udf).
+    exact cosine re-rank stays JVM-side (similarity.cosine_pair_col —
+    zip_with fold with corpus-row-precomputed norms; beats the Arrow
+    einsum 3x at pair scale, measurement in its docstring).
 
 Determinism: seeds are hash-ranked, Lloyd iterations are fixed-count, and
 argmax ties break on the lowest centroid id — same data, same index.
@@ -34,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from t_digest_spark.operators.similarity import cosine_pairs_udf
+from t_digest_spark.operators.similarity import cosine_pair_col
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -147,17 +148,38 @@ def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
         F.explode(_topn_cells_udf(centroids, nprobe)(qv)).alias("cell"))
     cand = (probes.join(corpus, "cell")
             .where(F.col("query_id") != F.col("corpus_id"))
-            .select("query_id", "corpus_id"))
+            .select("query_id", "corpus_id")
+            # Spread the pair explosion BEFORE the (broadcast-joined) einsum
+            # re-rank: the cell join multiplies rows inside whatever task
+            # produced the probe, so with a few input partitions the whole
+            # re-rank would run in them (measured 42s single-task vs ~4s
+            # spread, sf0.1 all-pairs). Hash on query_id — 16 bytes/row at
+            # pair scale — ALSO pre-satisfies the top-k window's
+            # partitioning, so the window's own exchange disappears. The partition
+            # COUNT must be explicit: pair rows are so narrow that AQE
+            # would coalesce a column-only repartition back to one
+            # partition (16MB < the 64MB advisory size) and re-serialize
+            # the re-rank.
+            .repartition(int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200")), F.col("query_id")))
     if observation is not None:
         cand = cand.observe(observation,
                             F.count(F.lit(1)).alias("n_candidate_pairs"))
-    qa = qsrc.select(F.col(id_col).alias("query_id"), qv.alias("_qv"))
-    ca = df.select(F.col(id_col).alias("corpus_id"),
-                   F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                   .alias("_cv"))
+    # JVM-side cosine with norms precomputed at CORPUS-row scale: the
+    # pair-scale expression is one zip_with fold + divide, no Arrow
+    # boundary (measurement: similarity.cosine_pair_col docstring).
+    norm_of = lambda c: F.sqrt(F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x * x))
+    qa = qsrc.select(F.col(id_col).alias("query_id"), qv.alias("_qv"),
+                     norm_of(qv).alias("_qn"))
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ca = df.select(F.col(id_col).alias("corpus_id"), cv.alias("_cv"),
+                   norm_of(cv).alias("_cn"))
     scored = (cand.join(qa, "query_id").join(ca, "corpus_id")
               .select("query_id", "corpus_id",
-                      cosine_pairs_udf()("_qv", "_cv").alias("cosine")))
+                      cosine_pair_col(F.col("_qv"), F.col("_cv"),
+                                      F.col("_qn"), F.col("_cn"))
+                      .alias("cosine")))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("corpus_id"))

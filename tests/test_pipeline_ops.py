@@ -320,10 +320,16 @@ def test_cosine_pairs_udf_matches_fold(spark):
                               F.col("_vec").alias("vb"),
                               F.col("_norm").alias("nb"))
     pairs = a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+    from t_digest_spark.operators.similarity import cosine_pair_col
     both = pairs.select(
         (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("fold"),
-        cosine_pairs_udf()("va", "vb").alias("blas")).toPandas()
+        cosine_pairs_udf()("va", "vb").alias("blas"),
+        cosine_pair_col(F.col("va"), F.col("vb"),
+                        F.col("na"), F.col("nb")).alias("col_norms"),
+        cosine_pair_col(F.col("va"), F.col("vb")).alias("col_inline")).toPandas()
     assert (both["fold"] - both["blas"]).abs().max() < 1e-12
+    assert (both["fold"] - both["col_norms"]).abs().max() < 1e-12
+    assert (both["fold"] - both["col_inline"]).abs().max() < 1e-12
 
 
 def test_table_loader_catalog_and_file_modes(spark, monkeypatch):
@@ -452,14 +458,19 @@ def test_topk_per_key_null_keys_ranked(spark):
 
 
 def test_cosine_udf_zero_norm_ranks_last(spark):
-    from t_digest_spark.operators.similarity import cosine_pairs_udf
+    from t_digest_spark.operators.similarity import (cosine_pair_col,
+                                                     cosine_pairs_udf)
     pdf = pd.DataFrame({
         "a": [np.ones(4, dtype=np.float32), np.zeros(4, dtype=np.float32)],
         "b": [np.ones(4, dtype=np.float32), np.ones(4, dtype=np.float32)]})
     out = spark.createDataFrame(pdf).select(
-        cosine_pairs_udf()("a", "b").alias("c")).collect()
+        cosine_pairs_udf()("a", "b").alias("c"),
+        cosine_pair_col(F.col("a").cast("array<double>"),
+                        F.col("b").cast("array<double>")).alias("j")).collect()
     assert out[0].c == pytest.approx(1.0)
     assert out[1].c == float("-inf")        # never NaN, never >= threshold
+    assert out[0].j == pytest.approx(1.0)
+    assert out[1].j == float("-inf")        # JVM path: same guard
 
 
 def test_jaccard_duplicate_candidates_not_multiplied(spark):
