@@ -123,6 +123,37 @@ def main():
     except Exception as e:
         print(f"bench: warmup failed: {e}", file=sys.stderr)
 
+    # Warm the STATEFUL streaming path too (applyInPandasWithState workers,
+    # state-store instantiation, memory-sink tableau): the suite's first
+    # query is a streaming one by ordering policy, and without this it
+    # absorbs the whole stateful cold start (~2x its steady-state cost).
+    try:
+        import shutil
+        import tempfile
+        from t_digest_spark.streaming import tdigest_stream_aggregate
+        wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+        (reg.limit(5).select(F.col("x").alias("value"), F.lit("w").alias("g"))
+         .write.mode("overwrite").parquet(os.path.join(wdir, "in")))
+        st = (spark.readStream.schema("value double, g string")
+              .parquet(os.path.join(wdir, "in")))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (tdigest_stream_aggregate(st, "value", ["g"])
+                 .writeStream.format("memory").queryName("bench_warm_sink")
+                 .outputMode("update")
+                 .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(wdir, ignore_errors=True)
+    except Exception as e:
+        print(f"bench: streaming warmup failed: {e}", file=sys.stderr)
+
     # min of N trials per query (default 2): single-shot timings in this
     # sandbox carry first-run codegen compilation plus hypervisor steal of
     # up to ~2x; the min is the steady-state estimator (BENCH.md protocol).
