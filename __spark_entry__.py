@@ -1125,9 +1125,11 @@ def q_streaming_digest_events(spark, sf_dir):
     # stays per-run (a reused checkpoint would resume old state)
     ev = _t(spark, sf_dir, "events")
     in_dir = _staged_event_chunks(spark, sf_dir)
+    # 2 files/trigger: multiple triggers still exercised (state merges
+    # across micro-batches) at half the per-trigger state-store overhead
     stream = (spark.readStream
               .schema("ts timestamp, event_type string, value double")
-              .option("maxFilesPerTrigger", "1")
+              .option("maxFilesPerTrigger", "2")
               .parquet(in_dir))
     digests = tdigest_stream_aggregate(stream, "value", ["event_type"])
     name = "stream_digest_events_sink"
@@ -1186,8 +1188,11 @@ def q_streaming_windowed_digest(spark, sf_dir):
                                           with_event_window)
     ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
     in_dir = _staged_event_chunks(spark, sf_dir)
+    # 2 time-ordered files/trigger: windows spanning a chunk boundary still
+    # complete before their watermark can expire (the watermark advances
+    # only between triggers), and state still merges across >1 trigger
     stream = (spark.readStream.schema("ts timestamp, event_type string, value double")
-              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+              .option("maxFilesPerTrigger", "2").parquet(in_dir))
     windowed = with_event_window(stream, "ts", "1 day", watermark="2 days")
     digests = tdigest_stream_aggregate(windowed, "value",
                                        ["win", "event_type"],
