@@ -138,6 +138,31 @@ def test_ivf_no_corpus_crossjoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_rerank_jvm_side_and_spread(spark):
+    """Round-4 plan contract for the IVF re-rank (BENCH.md §10): the
+    pair-scale cosine is pure Catalyst — the ONLY Python evals in the plan
+    are the two probe/assign UDFs over corpus-row-scale inputs — and the
+    candidate pairs hash-repartition on query_id before the re-rank so the
+    explosion never runs inside the probe task; the top-k window reuses
+    that partitioning instead of adding its own exchange."""
+    import numpy as np
+    from t_digest_spark.operators.ivf import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.random.default_rng(1).standard_normal((8, 64))
+    plan = _plan(ivf_topk(emb, cents, k=3, nprobe=2))
+    # the only Python-eval sites are the corpus-row-scale assign/probe UDFs
+    # (the assign subtree prints twice under the join); none at pair scale
+    assert 0 < plan.count("ArrowEvalPython") <= 3
+    # the window's input partitioning comes from our explicit repartition —
+    # exactly one hash exchange on query_id in the whole plan, and nothing
+    # ABOVE it (the re-rank cosine + top-k window) evaluates Python
+    assert plan.count("Exchange hashpartitioning(query_id") == 1
+    above = plan[:plan.index("Exchange hashpartitioning(query_id")]
+    assert "ArrowEvalPython" not in above and "pythonUDF" not in above
+    # pair spread survives AQE: the repartition is by-number, not advisory
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_no_driver_side_data_materialization_in_queries():
     """Source guard (VERDICT r2 #2): no gate-query path may collect a
     data-scale DataFrame on the driver. `.toPandas(` is banned outright in
