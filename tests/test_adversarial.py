@@ -143,6 +143,93 @@ def test_zoom_in_cascade(delta, cdf_tol):
         assert abs(d.cdf(x) - Dist.cdf(x, srt)) <= cdf_tol, (delta, q)
 
 
+def _careful_attack_k0(delta: float = 500.0, iterations: int = 120,
+                       delta_mult: float = 0.5, new_mult: float = 0.21,
+                       coeff: float = 1e-7, nudge: float = 1e-10,
+                       frac_neg: float = 0.2, init_mult: int = 10):
+    """ADAPTIVE CarefulAttack loop (CarefulAttack.java:125-420,
+    carefulNestedAroundZero; params from CarefulAttackTest.java:292-296
+    writeCarefulNestedAroundZeroK_0) — not just the input construction:
+    each round inspects the digest's centroids around zero, refills the
+    attacked centroid to its K_0 weight goal, fabricates a new centroid
+    between it and the next stream value, and maintains the right
+    neighbor. Returns (per-iteration cdf(0) errors, digest, sorted data).
+    Deterministic: the attack uses no randomness."""
+    inf = np.finfo(np.float64).max / _DENOM
+    d = TDigest(delta=delta, scale="k0", use_alternating=False)
+    data = []
+    half = int(delta * init_mult)
+    for i in range(half):        # symmetric init pairs (K_0 skips the tail)
+        p = -inf * (1 - i / (2 * half))
+        q = inf * (1 - i / (2 * half))
+        d.add(p)
+        d.add(q)
+        data.extend((p, q))
+    d.compress()
+    sorted_data = np.sort(np.array(data))
+    errors = []
+    for it in range(iterations):
+        means, weights = d.means, d.weights
+        ai = max(int(np.searchsorted(means, 0.0, side="left")) - 1, 0)
+        ri = min(int(np.searchsorted(means, means[ai], side="right")),
+                 means.size - 1)
+        center = means[ai]
+        w_att, w_right_n = weights[ai], weights[ri]
+        n = weights.sum()
+        w_to_right = weights[ri + 1:].sum()
+        w_to_left = n - w_att - w_right_n - w_to_right
+        nsv = sorted_data[min(int(np.searchsorted(sorted_data, 0.0, "right")),
+                              sorted_data.size - 1)]
+        if nsv < 100 * 5e-324 or not center < nsv:
+            break                              # ran out of float precision
+        goal = int(np.ceil((w_to_left + w_to_right)
+                           / ((delta * delta_mult) - 3.0)))
+        add = [center] * max(int(goal - w_att), 0)
+        another = center + coeff * (nsv - center)
+        n_neg = int(goal * frac_neg)
+        add.extend([another] * n_neg)
+        add.extend([nsv * new_mult] * (goal - n_neg))
+        rv = means[ri]                         # maintainRightCentroid=true
+        for _ in range(max(int(goal - w_right_n), 0)):
+            rv += nudge
+            add.append(rv)
+        for x in add:
+            d.add(x)
+        data.extend(add)
+        d.compress()
+        sorted_data = np.sort(np.array(data))
+        if it >= 1:
+            truth = np.searchsorted(sorted_data, 0.0, "left") / sorted_data.size
+            errors.append(abs(d.cdf(0.0) - truth))
+    return np.array(errors), d, sorted_data
+
+
+def test_adaptive_attack_k0_reproduces_and_k2_resists():
+    """The KDD'21 adaptive attack against K_0 must REPRODUCE on this port
+    (shared weakness = faithful merge semantics): cdf(0) error grows past
+    0.1 within ~120 adaptive rounds (reference finds ~0.33 at 1244 rounds,
+    CarefulAttack.java:204 comment). Structural invariants must survive
+    the whole attack. The SAME attack stream fed to the default K_2
+    digest (whose weight goal the attack cannot even define —
+    CarefulAttack.weightGoal returns 0 for it) stays well-behaved."""
+    errs, d, sorted_data = _careful_attack_k0()
+    assert errs.size > 50
+    assert errs.max() > 0.1, errs.max()        # the attack works on K_0
+    # error grows monotonically-ish (attack makes progress, not noise)
+    assert errs[-1] > 5 * errs[:10].mean()
+    # robustness through the whole attack
+    assert np.isfinite(d.means).all() and np.isfinite(d.weights).all()
+    assert np.all(np.diff(d.means) >= 0)
+    assert d.min == sorted_data[0] and d.max == sorted_data[-1]
+    # same stream, default K_2 digest: error at the attacked point stays
+    # an order of magnitude smaller (K_2's tail-tight weight limit leaves
+    # no overfillable centroid at the attack site)
+    d2 = TDigest.from_values(sorted_data, delta=500.0, scale="k2")
+    d2.compress()
+    truth = np.searchsorted(sorted_data, 0.0, "left") / sorted_data.size
+    assert abs(d2.cdf(0.0) - truth) < errs.max() / 10
+
+
 def test_extreme_magnitude_merge():
     """Merging digests whose means sit near +-DBL_MAX/1e8 must not overflow
     (the pivoted weighted-average claim in core.py's module docstring)."""
