@@ -123,11 +123,17 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
     c_prev_all = np.concatenate((np.zeros(1), cum[:-1]))  # cum[s-1]
     can2 = np.zeros(n, dtype=bool)
     q0_all = c_prev_all[:-1] / total
+    sm_cum = None
     if use_weight_limit:
+        # scale.max evaluated ONCE over every cumulative-q position; the
+        # per-cluster window walk below reuses these values instead of
+        # re-applying the (asin-heavy) scale function per window, which was
+        # O(n * windows). Bit-identical: same q inputs, same elementwise map.
+        sm_cum = scale.max(cum / total, normalizer)
+        sm_zero = float(scale.max(0.0, normalizer))
         prop2 = cum[1:] - c_prev_all[:-1]                 # weight of {s, s+1}
-        q2_all = cum[1:] / total
-        lim2 = total * np.minimum(scale.max(q0_all, normalizer),
-                                  scale.max(q2_all, normalizer))
+        sm_q0 = np.concatenate(([sm_zero], sm_cum[:n - 2]))
+        lim2 = total * np.minimum(sm_q0, sm_cum[1:])
         can2[:-1] = prop2 <= lim2
     else:
         # k-limit: absorb while cum <= total*q(k(q0)+1) (MergingDigest.java:427)
@@ -172,15 +178,14 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
             seg_w.append(np.array([cw]))
             s = e + 1
             continue
-        max_q0 = float(scale.max(c_prev / total, normalizer))
+        max_q0 = sm_zero if s == 0 else float(sm_cum[s - 1])
         e = s  # last index included in this cluster
         j0 = s + 1
         win = 512
         while j0 < n:
             j1 = min(n, j0 + win)
             prop = cum[j0:j1] - c_prev  # cluster weight if extended through j
-            q2 = (c_prev + prop) / total
-            ok = prop <= total * np.minimum(max_q0, scale.max(q2, normalizer))
+            ok = prop <= total * np.minimum(max_q0, sm_cum[j0:j1])
             # forced cluster breaks at sorted positions 1 and n-1
             if j0 <= 1 < j1:
                 ok[1 - j0] = False
