@@ -393,6 +393,34 @@ def test_mega_merge_thousand_digests():
     assert wall < 10.0, wall
 
 
+def test_tree_merge_cluster_shape():
+    """Two-level tree merge (treeAggregate(depth=2) shape: fan-in-32 local
+    pre-merges, then one final merge) holds the same 0.015 merge bound as the
+    flat path, and the flat concat+one-sweep stays at-least-as-accurate — the
+    property that justifies the groupBy-merge final aggregate in
+    operators/aggregation.py over a treeAggregate. Full 10,000-part record:
+    scripts/megamerge_bench.py -> bench_records/megamerge_10k.json."""
+    rng = np.random.default_rng(4242)
+    n_parts, per_part, fan_in = 1000, 2000, 32
+    data = rng.gamma(2.0, 1.0, n_parts * per_part)
+    parts = [TDigest.from_values(c, delta=100.0)
+             for c in data.reshape(n_parts, per_part)]
+    flat = TDigest.merge_all(parts)
+    level1 = [TDigest.merge_all(parts[i:i + fan_in])
+              for i in range(0, n_parts, fan_in)]
+    tree = TDigest.merge_all(level1)
+    assert flat.count == data.size and tree.count == data.size
+    assert flat.check_weights() == 0 and tree.check_weights() == 0
+    srt = np.sort(data)
+    flat_errs, tree_errs = [], []
+    for q in (0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        flat_errs.append(abs(Dist.cdf(flat.quantile(q), srt) - q))
+        tree_errs.append(abs(Dist.cdf(tree.quantile(q), srt) - q))
+    assert max(flat_errs) < 0.015, flat_errs
+    assert max(tree_errs) < 0.015, tree_errs
+    assert max(flat_errs) <= max(tree_errs) + 1e-3, (flat_errs, tree_errs)
+
+
 def test_k_limit_criterion_parity():
     """The k-limit variant (useWeightLimit=false, MergingDigest.java:104-108,
     :427-465) must satisfy the same validity invariant and accuracy envelope
