@@ -194,7 +194,15 @@ def tdigest_aggregate(df: DataFrame, value_col: str,
                       weight_col: Optional[str] = None,
                       salt_levels: int = 0, compress: bool = True,
                       pre_aggregate: bool = False) -> DataFrame:
-    """End-to-end: raw rows -> one digest row per group (partial + final)."""
+    """End-to-end: raw rows -> one digest row per group (partial + final).
+
+    delta sizing at extreme group counts: K_2's normalizer grows with
+    log(n), so at ~10^12 rows per group delta=100 leaves only ~45-56
+    clusters and tie-heavy (discrete) columns can drift under re-merge;
+    delta>=500 keeps block boundaries exact there (measured,
+    tests/test_big_count.py). Continuous data is fine at delta=100 at any
+    n (rank-error bound is n-independent).
+    """
     partials = tdigest_partial_build(df, value_col, group_cols, delta=delta,
                                      scale=scale, weight_col=weight_col,
                                      pre_aggregate=pre_aggregate)
