@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import sys
+import weakref
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,7 +49,7 @@ from t_digest_spark.sources.synthetic import source_code_table
 _D = ("means", "weights", "dmin", "dmax")
 
 
-_TABLE_CACHE: dict = {}
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,14 +57,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan is cached ONCE per (sf_dir, table) and shared across the whole
     suite — the bench's 57 queries re-read lineitem/events/documents dozens
     of times otherwise (VERDICT r3 #5). Off by default: the correctness
-    driver and ad-hoc users get plain scans with full pushdown."""
+    driver and ad-hoc users get plain scans with full pushdown.
+
+    Keyed weakly by the session OBJECT (not id(spark): a stopped session's
+    freed address can be reused by a new one, which would serve DataFrames
+    bound to a dead SparkContext) so per-session entries are evicted with
+    the session instead of leaking for the process lifetime."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") != "1":
         return df
-    key = (id(spark), sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    hit = per_session.get(key)
     if hit is None:
-        hit = _TABLE_CACHE[key] = df.cache()
+        hit = per_session[key] = df.cache()
     return hit
 
 

@@ -43,6 +43,11 @@ def main():
                        SCALING_TRIALS="2")
             out = subprocess.run([sys.executable, BENCH, "--one"],
                                  env=env, capture_output=True, text=True)
+            if out.returncode != 0 or not out.stdout.strip():
+                sys.stderr.write(out.stderr)
+                raise RuntimeError(
+                    f"scaling_bench --one failed (rc={out.returncode}) "
+                    f"for n={n_rows}; stderr above")
             line = out.stdout.strip().splitlines()[-1]
             res = json.loads(line)
             walls[n_rows].extend(res["walls"])

@@ -128,7 +128,12 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
         # scale.max evaluated ONCE over every cumulative-q position; the
         # per-cluster window walk below reuses these values instead of
         # re-applying the (asin-heavy) scale function per window, which was
-        # O(n * windows). Bit-identical: same q inputs, same elementwise map.
+        # O(n * windows). The q inputs here are cum[j]/total directly; the
+        # pre-hoist walk evaluated fl(c_prev + fl(cum[j] - c_prev))/total,
+        # which may differ by 1 ulp — so cluster boundaries match the old
+        # kernel up to ULP-level q ties (the determinism pins in
+        # tests/fixtures guard the CURRENT kernel's output, and digests on
+        # either side of such a tie stay within the merge invariant).
         sm_cum = scale.max(cum / total, normalizer)
         sm_zero = float(scale.max(0.0, normalizer))
         prop2 = cum[1:] - c_prev_all[:-1]                 # weight of {s, s+1}

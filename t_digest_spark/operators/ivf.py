@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from t_digest_spark.operators.similarity import cosine_pair_col
+from t_digest_spark.operators.similarity import cosine_pair_col, norm_col
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -168,13 +168,11 @@ def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
     # JVM-side cosine with norms precomputed at CORPUS-row scale: the
     # pair-scale expression is one zip_with fold + divide, no Arrow
     # boundary (measurement: similarity.cosine_pair_col docstring).
-    norm_of = lambda c: F.sqrt(F.aggregate(
-        c, F.lit(0.0), lambda acc, x: acc + x * x))
     qa = qsrc.select(F.col(id_col).alias("query_id"), qv.alias("_qv"),
-                     norm_of(qv).alias("_qn"))
+                     norm_col(qv).alias("_qn"))
     cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     ca = df.select(F.col(id_col).alias("corpus_id"), cv.alias("_cv"),
-                   norm_of(cv).alias("_cn"))
+                   norm_col(cv).alias("_cn"))
     scored = (cand.join(qa, "query_id").join(ca, "corpus_id")
               .select("query_id", "corpus_id",
                       cosine_pair_col(F.col("_qv"), F.col("_cv"),

@@ -91,10 +91,15 @@ def auto_n_planes(corpus_count: int, target_occupancy: int = 16,
         max(corpus_count / target_occupancy, 2.0))), lo), hi))
 
 
+def norm_col(vec):
+    """L2 norm of an array column as a pure Catalyst expression — the single
+    definition every vector operator shares (with_norm here, the IVF re-rank)."""
+    return F.sqrt(_dot(vec, vec))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn("_vec", v).withColumn(
-        "_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec"))))
+    return df.withColumn("_vec", v).withColumn("_norm", norm_col(F.col("_vec")))
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
