@@ -96,10 +96,106 @@ def ladder(rng) -> dict:
     return rows
 
 
+def sort_bench(rng) -> dict:
+    """SortBench analog (benchmark/.../SortBench.java:36-65): stable index
+    sort of 100k doubles with random / ascending / descending pre-order.
+    The engine's sort is numpy's stable argsort (core.merge_arrays), vs the
+    reference's hand-written Sort.sort quicksort with index arrays."""
+    n = 100_000
+    base = rng.uniform(0, 1, n)
+    orders = {"random": base,
+              "ascending": np.sort(base),
+              "descending": np.sort(base)[::-1].copy()}
+    return {name: round(_best_ns(
+        lambda v=vals: np.argsort(v, kind="stable"), n, reps=5), 2)
+        for name, vals in orders.items()}
+
+
+def approx_log_bench(rng) -> dict:
+    """ApproxLogBench analog (benchmark/.../ApproxLogBench.java:66-91):
+    LogHistogram.approxLog2 vs exact log2, per element. The reference's
+    approximation exists to beat Math.log in a per-point JVM loop; the
+    engine's LogHistogram deliberately uses EXACT log2 because Catalyst /
+    numpy evaluate it vectorized (operators/histogram.py:13-16) — this
+    measures that the exact path is already in the same band."""
+    n = 1_000_000
+    data = rng.uniform(0.1, 100.0, n)
+
+    def vec_approx_log2(v):
+        # vectorized bit-twiddle port of LogHistogram.approxLog2
+        # (LogHistogram.java:70-76), same polynomial as histogram.approx_log2
+        bits = v.view(np.int64) if v.dtype == np.float64 else \
+            v.astype(np.float64).view(np.int64)
+        exponent = ((bits & 0x7FF0000000000000) >> 52) - 1024
+        mant_mask = np.uint64(0x800FFFFFFFFFFFFF).astype(np.int64)
+        m = ((bits & mant_mask) |
+             np.int64(0x3FF0000000000000)).view(np.float64)
+        return m * (2 - (1.0 / 3) * m) + exponent - (2.0 / 3.0)
+
+    out = {"approx_log2_ns": round(_best_ns(
+        lambda: vec_approx_log2(data), n, reps=5), 2),
+        "exact_log2_ns": round(_best_ns(
+            lambda: np.log2(data), n, reps=5), 2)}
+    # parity guard while we're here: vectorized == scalar port, <1e-2 abs err
+    from t_digest_spark.operators.histogram import approx_log2
+    sample = data[:100]
+    assert np.allclose(vec_approx_log2(sample),
+                       [approx_log2(float(x)) for x in sample], atol=1e-12)
+    assert np.max(np.abs(vec_approx_log2(sample) - np.log2(sample))) < 0.01
+    return out
+
+
+def tdigest_bench(rng) -> dict:
+    """TDigestBench analog (benchmark/.../TDigestBench.java:106-147):
+    ns/point across compression {100,300} x distribution {normal,gamma} for
+    the merging (bulk buffered) path, plus AVL per-point at lg16 (the
+    ladder above). JMH's timeAdd is per-point; the engine ingests via the
+    buffered batch path, so points stream through add_values in
+    buffer-sized chunks exactly as partition ingest does."""
+    n = 4_000_000
+    dists = {"normal": rng.normal(0, 1, n),
+             "gamma": rng.gamma(0.1, 0.1, n)}
+    out = {}
+    for comp in (100.0, 300.0):
+        for dname, data in dists.items():
+            d = TDigest(delta=comp)
+            chunk = d._buffer_cap
+
+            def run(d=d, data=data, chunk=chunk):
+                for i in range(0, len(data), chunk):
+                    d.add_values(data[i:i + chunk])
+            out[f"merge_c{int(comp)}_{dname}_ns"] = round(
+                _best_ns(run, n, reps=3), 2)
+    return out
+
+
+def float_histogram_bench(rng) -> dict:
+    """FloatHistogramBench analog (benchmark/.../FloatHistogramBench.java:
+    51-80): histogram add throughput at 20/50/100 bins over lognormal
+    latencies. The engine's histogram is a Catalyst expression at scan
+    speed; the numpy stand-in (bin index + bincount accumulate) is the
+    same vectorized shape the JVM codegen produces."""
+    n = 4_000_000
+    data = np.exp(rng.normal(np.log(0.05), 0.5, n))
+    out = {}
+    for bins in (20, 50, 100):
+        edges = np.exp(np.linspace(np.log(1e-3), np.log(10.0), bins + 1))
+
+        def run(edges=edges, bins=bins):
+            np.bincount(np.clip(np.searchsorted(edges, data, side="right"),
+                                0, bins + 1), minlength=bins + 2)
+        out[f"bins{bins}_ns"] = round(_best_ns(run, n, reps=3), 2)
+    return out
+
+
 def main():
     rng = np.random.default_rng(3)
     report = {"merge_bench_ns_per_add": merge_bench(rng),
-              "speed_ladder": ladder(rng)}
+              "speed_ladder": ladder(rng),
+              "sort_bench_ns": sort_bench(rng),
+              "approx_log_bench_ns": approx_log_bench(rng),
+              "tdigest_bench_ns": tdigest_bench(rng),
+              "float_histogram_bench_ns": float_histogram_bench(rng)}
     print(json.dumps(report))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "bench_records",
