@@ -169,6 +169,37 @@ def tdigest_bench(rng) -> dict:
     return out
 
 
+def benchmark_grid(rng) -> dict:
+    """Benchmark.java analog (benchmark/src/main/java/com/tdunning/
+    Benchmark.java:42-76): add latency over the full method {merge,tree} x
+    compression {20,50,100,200,500} grid on uniform doubles (the
+    reference's @Param sweep). The merging path ingests via buffer-sized
+    vectorized chunks (the engine's Arrow-batch path); the AVL path is the
+    per-point clustering loop, timed at a smaller n (its Python-loop cost
+    is the behavioral-parity path, not the scale path — avl.py docstring)
+    so the whole grid stays bounded."""
+    out = {}
+    merge_data = rng.uniform(0, 1, 4_000_000)
+    tree_data = rng.uniform(0, 1, 100_000)
+    for comp in (20, 50, 100, 200, 500):
+        d = TDigest(delta=float(comp))
+        chunk = d._buffer_cap
+        d.add_values(rng.uniform(0, 1, 5 * chunk))  # @Setup warm
+        t0 = time.perf_counter()
+        for i in range(0, len(merge_data), chunk):
+            d.add_values(merge_data[i:i + chunk])
+        out[f"merge_c{comp}_ns"] = round(
+            (time.perf_counter() - t0) / len(merge_data) * 1e9, 2)
+
+        a = AVLTreeDigest(delta=float(comp))
+        t0 = time.perf_counter()
+        for x in tree_data:
+            a.add(float(x))
+        out[f"tree_c{comp}_ns"] = round(
+            (time.perf_counter() - t0) / len(tree_data) * 1e9, 1)
+    return out
+
+
 def float_histogram_bench(rng) -> dict:
     """FloatHistogramBench analog (benchmark/.../FloatHistogramBench.java:
     51-80): histogram add throughput at 20/50/100 bins over lognormal
@@ -195,6 +226,7 @@ def main():
               "sort_bench_ns": sort_bench(rng),
               "approx_log_bench_ns": approx_log_bench(rng),
               "tdigest_bench_ns": tdigest_bench(rng),
+              "benchmark_grid_ns": benchmark_grid(rng),
               "float_histogram_bench_ns": float_histogram_bench(rng)}
     print(json.dumps(report))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -136,6 +136,32 @@ def test_varint_codec():
         assert got == n and pos == len(out)
 
 
+def test_varint_codec_random_sweep():
+    """TDigestUtilTest.testIntEncoding analog (core/src/test/.../
+    TDigestUtilTest.java:31-48): 3000 random 32-bit ints, each
+    unsigned-right-shifted by i/100 so the stream sweeps every varint
+    byte-length boundary (5-byte negatives down to 1-byte smalls), all
+    encoded into ONE buffer and decoded back in order. Java's decode
+    returns the signed int bit pattern; the Python codec surfaces the
+    same bits as the unsigned value, so parity is via `& 0xFFFFFFFF`."""
+    from t_digest_spark.avl import _decode_varint, _encode_varint
+    rng = np.random.default_rng(42)
+    raw = rng.integers(-2**31, 2**31, size=3000, dtype=np.int64)
+    ref, out = [], bytearray()
+    for i, r in enumerate(raw):
+        shift = i // 100
+        n = (int(r) & 0xFFFFFFFF) >> shift
+        if shift == 0:
+            n = int(r)  # Java n >>> 0 keeps the signed bit pattern
+        ref.append(n & 0xFFFFFFFF)
+        _encode_varint(out, n)
+    data, pos = bytes(out), 0
+    for i, expect in enumerate(ref):
+        got, pos = _decode_varint(data, pos)
+        assert got == expect, f"{i}:"
+    assert pos == len(data)
+
+
 def test_against_merging_digest():
     """Both variants approximate the same distribution: quantiles agree
     within the combined error envelope."""
