@@ -212,6 +212,24 @@ def main():
             prior_best = {k: v for k, v in parsed["queries"].items()
                           if v is not None}
             break
+
+    # Tighten targets with the committed self-run records (bench_records/
+    # *.json, same flat schema this script emits, same contracts as the
+    # current round): the latest BENCH_r*.json may itself be a contended
+    # window (r3's was 1.9x slow), and 1.5x an inflated target never
+    # fires. Per-query min across sources keeps the retry trigger honest.
+    for sr in glob.glob(os.path.join(here, "bench_records", "*.json")):
+        try:
+            with open(sr) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        if rec.get("sf") != sf or not isinstance(rec.get("queries"), dict):
+            continue
+        for k, v in rec["queries"].items():
+            if isinstance(v, (int, float)) and (
+                    k not in prior_best or v < prior_best[k]):
+                prior_best[k] = v
     retry_factor = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
 
