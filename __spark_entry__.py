@@ -63,13 +63,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     freed address can be reused by a new one, which would serve DataFrames
     bound to a dead SparkContext) so per-session entries are evicted with
     the session instead of leaking for the process lifetime."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") != "1":
-        return df
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
     hit = per_session.get(key)
     if hit is None:
+        # Read only on miss: a hit must not pay driver-side file listing
+        # and footer/schema inference inside a timed query.
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         hit = per_session[key] = df.cache()
     return hit
 
@@ -1257,7 +1259,6 @@ def q_streaming_distinct_users(spark, sf_dir):
     from t_digest_spark.sketches.theta import THETA_MAX
     from t_digest_spark.streaming import (theta_stream_aggregate,
                                           with_event_window)
-    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "user_id")
     in_dir = _staged_event_chunks(spark, sf_dir)
     # 2 files/trigger: still multiple time-ordered triggers (state must
     # survive and merge across micro-batches), at half the per-trigger

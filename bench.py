@@ -53,6 +53,22 @@ def _kernel_burn():
     TDigest.from_values(kv)
 
 
+def _canary_rate(kv, reps: int) -> float:
+    """Shared canary protocol: warmed single-core kernel rate, min of
+    `reps` builds over the pre-generated array `kv`. The caller must have
+    warmed pages/code path once (first-touch page faults are pathological
+    in this sandbox and would otherwise dominate the reading 30-50x);
+    every canary in this file measures through THIS loop so the retry
+    bracket and the headline kernel_pts_per_sec stay the same instrument."""
+    from t_digest_spark.core import TDigest
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        TDigest.from_values(kv)
+        best = min(best, time.perf_counter() - t0)
+    return round(len(kv) / best, 1)
+
+
 def run_flagship(spark, sf_dir: str) -> dict:
     """Flagship digest job: per-returnflag digest of l_extendedprice over
     lineitem + global digest over events.value. Returns wall time, input rows,
@@ -237,20 +253,12 @@ def main():
 
     def _mini_canary() -> float:
         """1M-point single-core kernel rate — host-health probe for retry
-        bracketing. Warmed like the headline canary (first-touch page
-        faults are pathological here and would otherwise dominate the
-        reading 30-50x), min of 2."""
+        bracketing (same instrument as the headline canary: _canary_rate)."""
         from t_digest_spark.core import TDigest
         if not _canary_kv:
             _canary_kv.append(np.random.default_rng(13).normal(0, 1, 1_000_000))
             TDigest.from_values(_canary_kv[0][:100_000])   # warm path + pages
-        kv = _canary_kv[0]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            TDigest.from_values(kv)
-            best = min(best, time.perf_counter() - t0)
-        return round(len(kv) / best, 1)
+        return _canary_rate(_canary_kv[0], reps=2)
 
     # Table caching (SPARK_GRAFT_CACHE_TABLES=1, read by __spark_entry__._t):
     # the suite re-reads the same handful of base tables dozens of times;
@@ -323,12 +331,7 @@ def main():
         kv = np.random.default_rng(7).normal(0, 1, 2_000_000)
         _ = np.sort(kv.copy())
         TDigest.from_values(kv[:100_000])
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            TDigest.from_values(kv)
-            best = min(best, time.perf_counter() - t0)
-        kernel_pts_per_sec = round(len(kv) / best, 1)
+        kernel_pts_per_sec = _canary_rate(kv, reps=3)
     except Exception:
         kernel_pts_per_sec = None
 
