@@ -93,6 +93,84 @@ def test_stream_digest_matches_batch(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_stream_restart_resumes_from_checkpoint(spark):
+    """Stop a stateful digest stream mid-input, restart the SAME query
+    definition against the SAME checkpoint, feed the rest: the restarted
+    query must recover its digest state from the state store (count 3500,
+    not 1500) WITHOUT replaying already-committed source files (not 5500)
+    — the Structured-Streaming form of the north rule's checkpoint-resume
+    requirement (the batch form is operators/checkpoint.py, gate query
+    checkpoint_resume)."""
+    rng = np.random.default_rng(7)
+    batch1 = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 2000),
+        "x": np.concatenate([rng.normal(10, 2, 2000), rng.uniform(0, 1, 2000)]),
+    })
+    batch2 = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 1500),
+        "x": np.concatenate([rng.normal(12, 2, 1500), rng.uniform(0.5, 1.5, 1500)]),
+    })
+
+    work = tempfile.mkdtemp(prefix="tdigest_stream_restart_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")   # shared across both query runs
+    os.makedirs(in_dir)
+
+    def _start(sink_rows):
+        # foreachBatch, not the memory sink: memory cannot recover from an
+        # existing checkpoint ("This query does not support recovering...")
+        stream = (spark.readStream
+                  .schema("g string, x double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir))
+        digests = tdigest_stream_aggregate(stream, "x", ["g"])
+        return (digests.writeStream
+                .foreachBatch(lambda bdf, _bid: sink_rows.extend(bdf.collect()))
+                .outputMode("update").option("checkpointLocation", ckpt)
+                .start())
+
+    try:
+        _write_batch(spark, in_dir, batch1, "b1")
+        run1_rows = []
+        q = _start(run1_rows)
+        try:
+            q.processAllAvailable()
+            first = {r.g: r for r in run1_rows}
+            assert first["a"]["count"] == 2000.0
+        finally:
+            q.stop()
+
+        # New data lands while the query is DOWN; restart from checkpoint.
+        _write_batch(spark, in_dir, batch2, "b2")
+        run2_rows = []
+        q2 = _start(run2_rows)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        # The fresh sink only sees rows emitted AFTER restart, so a
+        # correct resume shows recovered-state + new-batch totals.
+        latest = {}
+        for r in run2_rows:
+            latest[r.g] = r
+        assert set(latest) == {"a", "b"}
+        assert latest["a"]["count"] == 3500.0   # 1500 = state lost; 5500 = replay
+        assert latest["b"]["count"] == 3500.0
+
+        all_a = np.concatenate([batch1[batch1.g == "a"].x.to_numpy(),
+                                batch2[batch2.g == "a"].x.to_numpy()])
+        d = digest_from_cells(latest["a"].means, latest["a"].weights,
+                              latest["a"].dmin, latest["a"].dmax, 100.0, "k2")
+        for qq in (0.1, 0.5, 0.9, 0.99):
+            exact = Dist.quantile(qq, np.sort(all_a))
+            assert abs(d.cdf(exact) - qq) < 0.02
+        assert d.min == all_a.min()
+        assert d.max == all_a.max()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_windowed_stream_digest(spark):
     """Event-time windowed digests: the window struct joins the grouping key
     (with_event_window), so each (window, key) holds its own digest state."""
