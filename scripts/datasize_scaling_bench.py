@@ -28,10 +28,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BENCH = os.path.join(HERE, "scaling_bench.py")
 CPUS = int(os.environ.get("DATASIZE_CPUS", 32))
 ROUNDS = int(os.environ.get("DATASIZE_ROUNDS", 2))
-SIZES = {
-    64_000_000: "/tmp/tdigest_scaling_input_64m",
-    256_000_000: "/tmp/tdigest_scaling_input_256m",
-}
+# millions of rows per level, e.g. DATASIZE_SIZES="64,256,512"
+_SIZES_M = [int(s) for s in
+            os.environ.get("DATASIZE_SIZES", "64,256").split(",")]
+SIZES = {m * 1_000_000: f"/tmp/tdigest_scaling_input_{m}m" for m in _SIZES_M}
 
 
 def main():
@@ -57,14 +57,19 @@ def main():
     stats = {n: {"walls": walls[n], "best_wall": min(walls[n]),
                  "rows_per_sec_best": round(n / min(walls[n]), 1)}
              for n in sizes}
-    small, big = sizes
+    small, big = sizes[0], sizes[-1]
     ratio = stats[big]["rows_per_sec_best"] / stats[small]["rows_per_sec_best"]
     report = {
-        "protocol": "same job, same local[%d], %dM vs %dM rows; interleaved "
-                    "rounds, min wall per size" % (CPUS, small // 10**6,
-                                                   big // 10**6),
+        "protocol": "same job, same local[%d], rows in {%s}M; interleaved "
+                    "rounds, min wall per size" % (
+                        CPUS, ",".join(str(n // 10**6) for n in sizes)),
         "cpus": CPUS,
         "levels": {str(n): stats[n] for n in sizes},
+        # consecutive-pair throughput ratios (1.0 = perfectly linear in data)
+        "throughput_ratio_steps": {
+            f"{a//10**6}M->{b//10**6}M": round(
+                stats[b]["rows_per_sec_best"] / stats[a]["rows_per_sec_best"], 3)
+            for a, b in zip(sizes, sizes[1:])},
         "throughput_ratio_big_over_small": round(ratio, 3),
     }
     print(json.dumps(report))
