@@ -1,0 +1,56 @@
+"""Tests for bench.py's cross-round host-normalization instruments.
+
+Round 4 made the merge kernel itself faster (231b145), so the canary rate
+stopped being a pure host-speed reading. bench.py pins the instrument by
+re-running the canary through the r2 driver snapshot (git archive) and
+matches instruments when forming the cross-round host ratio (BENCH.md §0).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_host_ratio_prefers_matched_r2proto_pair():
+    prev = {"kernel_pts_per_sec_r2proto": 8e6,
+            "kernel_pts_per_sec_single_core": 20e6}
+    ratio, instrument = bench._host_ratio(prev, kernel_r2proto=16e6,
+                                          kernel_now=24e6)
+    assert instrument == "r2proto_vs_r2proto"
+    assert ratio == pytest.approx(0.5)
+
+
+def test_host_ratio_r2_era_record_uses_pinned_instrument():
+    # BENCH_r02/r03 shape: only a single_core reading, taken on the r2-era
+    # kernel — must pair with OUR r2proto reading, not the faster current
+    # kernel (pairing with kernel_now would report 8/24 = 0.33 and charge
+    # the engine's own speedup to the "host").
+    prev = {"kernel_pts_per_sec_single_core": 8e6}
+    ratio, instrument = bench._host_ratio(prev, kernel_r2proto=16e6,
+                                          kernel_now=24e6)
+    assert instrument == "prev_single_core_vs_r2proto"
+    assert ratio == pytest.approx(0.5)
+
+
+def test_host_ratio_falls_back_when_snapshot_unavailable():
+    prev = {"kernel_pts_per_sec_single_core": 8e6}
+    ratio, instrument = bench._host_ratio(prev, kernel_r2proto=None,
+                                          kernel_now=24e6)
+    assert instrument == "single_core_mismatched_kernels"
+    assert ratio == pytest.approx(1 / 3)
+    assert bench._host_ratio({}, None, None) == (None, None)
+
+
+def test_r2proto_canary_runs_pinned_snapshot():
+    """The pinned-instrument canary extracts the r2 driver snapshot and
+    measures a plausible single-core rate through it (>1M pts/s even in a
+    badly degraded window; observed range 4.4M-16.4M)."""
+    rate = bench._r2proto_canary_rate()
+    if rate is None:
+        pytest.skip("git or r2 snapshot unavailable in this environment")
+    assert rate > 1e6
