@@ -1,0 +1,129 @@
+"""Same-window engine A/B: the r2-era engine vs the current engine, interleaved.
+
+VERDICT r3's open question was whether round-over-round suite-time changes
+are engine regressions or host-window artifacts. Cross-round normalization
+needs a host-speed model (BENCH.md §0); this experiment needs NONE: it runs
+the round-2 driver snapshot's own bench (`git archive 0c10225` — its
+bench.py, its __spark_entry__.py, its t_digest_spark, exactly the code that
+produced BENCH_r02.json) interleaved A/B/A/B with the current bench on the
+same host, same testdata, within minutes of each other. Per-query min
+across interleaved rounds cancels window drift; the result is a direct
+engine-vs-engine reading.
+
+Biases, both AGAINST the current engine, so a win is conservative:
+* current-round query contracts are deeper (sketch queries also compute
+  exact counterparts in-job for the driver's bound contract — VERDICT r2
+  noted ~2x work per query vs earlier definitions);
+* the current bench's per-query canary-bracketed retries are DISABLED here
+  (SPARK_GRAFT_BENCH_RETRIES=0) for runtime symmetry with the r2 harness,
+  which predates them. Each harness otherwise runs its own defaults, which
+  is exactly what BENCH_r04-vs-BENCH_r02 compares.
+
+Usage:  python scripts/engine_ab_bench.py
+Env:    AB_ROUNDS (default 2), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+Output: bench_records/engine_ab_r2_vs_r4.json (+ one summary line on stdout)
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R2_COMMIT = "0c10225"   # driver snapshot that produced BENCH_r02.json
+
+
+def _extract_r2(dest: str):
+    ar = subprocess.run(["git", "-C", HERE, "archive", R2_COMMIT],
+                        capture_output=True, timeout=120, check=True)
+    subprocess.run(["tar", "-x", "-C", dest], input=ar.stdout,
+                   check=True, timeout=120)
+
+
+def _run_bench(cwd: str, extra_env: dict) -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    env.update(extra_env)
+    out = subprocess.run([sys.executable, "bench.py"], cwd=cwd,
+                         capture_output=True, text=True, env=env,
+                         timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"bench in {cwd} failed rc={out.returncode}: "
+                           f"{out.stderr[-500:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    rounds = int(os.environ.get("AB_ROUNDS", "2"))
+    r2dir = tempfile.mkdtemp(prefix="r2_engine_ab_")
+    runs = {"r2": [], "r4": []}
+    try:
+        _extract_r2(r2dir)
+        for i in range(rounds):
+            for label, cwd, env in (
+                    ("r2", r2dir, {}),
+                    ("r4", HERE, {"SPARK_GRAFT_BENCH_RETRIES": "0"})):
+                rec = _run_bench(cwd, env)
+                runs[label].append(rec)
+                print(f"round {i + 1} {label}: total={rec.get('value')}s "
+                      f"canary={rec.get('kernel_pts_per_sec_single_core')}",
+                      file=sys.stderr)
+    finally:
+        shutil.rmtree(r2dir, ignore_errors=True)
+
+    def _best(recs):
+        best = {}
+        for rec in recs:
+            for k, v in (rec.get("queries") or {}).items():
+                if isinstance(v, (int, float)) and (
+                        k not in best or v < best[k]):
+                    best[k] = v
+        return best
+
+    b2, b4 = _best(runs["r2"]), _best(runs["r4"])
+    common = sorted(set(b2) & set(b4))
+    ratios = {k: round(b4[k] / b2[k], 3) for k in common}
+    slower = {k: r for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+              if r > 1.0}
+    report = {
+        "protocol": (f"{rounds} interleaved rounds per engine, per-query "
+                     "min across rounds; r2 engine = git archive "
+                     f"{R2_COMMIT} run via its own bench.py"),
+        "sf": runs["r4"][0].get("sf"),
+        "window_canaries": {
+            "r2_engine_runs": [r.get("kernel_pts_per_sec_single_core")
+                               for r in runs["r2"]],
+            "r4_engine_runs": [r.get("kernel_pts_per_sec_single_core")
+                               for r in runs["r4"]],
+        },
+        "n_common": len(common),
+        "subtotal_r2_engine_sec": round(sum(b2[k] for k in common), 3),
+        "subtotal_r4_engine_sec": round(sum(b4[k] for k in common), 3),
+        "r4_over_r2_subtotal_ratio": round(
+            sum(b4[k] for k in common) / sum(b2[k] for k in common), 3)
+            if common else None,
+        "n_queries_r4_faster_or_equal": sum(
+            1 for k in common if ratios[k] <= 1.0),
+        "queries_r4_slower": slower,
+        "n_queries_r4_slower_1p5x": sum(1 for r in slower.values()
+                                        if r > 1.5),
+        "per_query_ratio_r4_over_r2": ratios,
+        "note": ("same host, same minutes, no normalization model; r4 "
+                 "contracts are deeper per query and r4 retries disabled — "
+                 "both biases run against the r4 engine"),
+    }
+    out_path = os.path.join(HERE, "bench_records",
+                            "engine_ab_r2_vs_r4.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: report[k] for k in (
+        "n_common", "subtotal_r2_engine_sec", "subtotal_r4_engine_sec",
+        "r4_over_r2_subtotal_ratio", "n_queries_r4_faster_or_equal",
+        "n_queries_r4_slower_1p5x")}))
+
+
+if __name__ == "__main__":
+    main()
