@@ -20,8 +20,11 @@ Biases, both AGAINST the current engine, so a win is conservative:
   is exactly what BENCH_r04-vs-BENCH_r02 compares.
 
 Usage:  python scripts/engine_ab_bench.py
-Env:    AB_ROUNDS (default 2), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
-Output: bench_records/engine_ab_r2_vs_r4.json (+ one summary line on stdout)
+Env:    AB_ROUNDS (default 2), AB_BASE_COMMIT (default 0c10225 = the r2
+        driver snapshot; set 45a61e6 for the r3 snapshot), AB_OUT (report
+        filename, default engine_ab_<base>_vs_r4.json),
+        SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+Output: bench_records/<AB_OUT> (+ one summary line on stdout)
 """
 
 import json
@@ -32,7 +35,8 @@ import sys
 import tempfile
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-R2_COMMIT = "0c10225"   # driver snapshot that produced BENCH_r02.json
+# driver snapshot to race: 0c10225 produced BENCH_r02.json, 45a61e6 BENCH_r03.json
+R2_COMMIT = os.environ.get("AB_BASE_COMMIT", "0c10225")
 
 
 def _extract_r2(dest: str):
@@ -115,8 +119,10 @@ def main():
                  "contracts are deeper per query and r4 retries disabled — "
                  "both biases run against the r4 engine"),
     }
-    out_path = os.path.join(HERE, "bench_records",
-                            "engine_ab_r2_vs_r4.json")
+    out_name = os.environ.get(
+        "AB_OUT", "engine_ab_r2_vs_r4.json" if R2_COMMIT == "0c10225"
+        else f"engine_ab_{R2_COMMIT}_vs_r4.json")
+    out_path = os.path.join(HERE, "bench_records", out_name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: report[k] for k in (
