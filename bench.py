@@ -72,7 +72,9 @@ def _canary_rate(kv, reps: int) -> float:
 # The driver commit whose t_digest_spark/ produced the canary numbers in
 # BENCH_r02.json / BENCH_r03.json (round-2 snapshot). Round 4 made the merge
 # kernel itself faster (231b145: scale.max hoisted out of the window walk —
-# bit-identical output), so the CURRENT kernel's canary rate is engine speed
+# equivalent output up to ULP-level q ties in cluster boundaries, see the
+# caveat in core.py's merge_arrays; determinism pins guard the current
+# kernel), so the CURRENT kernel's canary rate is engine speed
 # x host speed. For cross-round host normalization the instrument must be
 # pinned: this function re-runs the canary through the exact r2-era package.
 R2_CANARY_COMMIT = "0c10225"
@@ -139,7 +141,13 @@ def _host_ratio(prev_parsed: dict, kernel_r2proto, kernel_now):
     if prev_kernel and kernel_r2proto:
         return prev_kernel / kernel_r2proto, "prev_single_core_vs_r2proto"
     if prev_kernel and kernel_now:   # fallback: git/snapshot unavailable
-        return prev_kernel / kernel_now, "single_core_mismatched_kernels"
+        # A prev record that carries an r2proto key is itself a round-4-era
+        # record, so its single_core reading was taken on the CURRENT kernel
+        # — same instrument as kernel_now, a matched ratio. Only records
+        # predating the kernel change make this fallback mismatched.
+        instrument = ("single_core_current_kernel_matched"
+                      if prev_r2proto else "single_core_mismatched_kernels")
+        return prev_kernel / kernel_now, instrument
     return None, None
 
 
@@ -360,11 +368,21 @@ def main():
                 fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            target = prior_best.get(name)
-            if target is not None and best > retry_factor * target:
-                entry = {"first_best": round(best, 3),
-                         "target": target, "retries": [],
-                         "canary_pts_per_sec": []}
+        except Exception as e:  # a broken query shouldn't zero the whole bench
+            print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = None
+            continue
+        target = prior_best.get(name)
+        if target is not None and best > retry_factor * target:
+            # The retry bracket gets its own try: the query already has a
+            # valid measurement, and a transient failure during a retry
+            # (the same contention that tripped the gate) must not discard
+            # it — record the error in the bracket entry and keep `best`.
+            entry = {"first_best": round(best, 3),
+                     "target": target, "retries": [],
+                     "canary_pts_per_sec": []}
+            retry_log[name] = entry
+            try:
                 for _ in range(max_retries):
                     if retry_budget <= 0:
                         # Distinguish "bracket completed and confirmed" from
@@ -383,12 +401,12 @@ def main():
                     best = min(best, dt)
                     if best <= retry_factor * target:
                         break
-                entry["final"] = round(best, 3)
-                retry_log[name] = entry
-            timings[name] = round(best, 3)
-        except Exception as e:  # a broken query shouldn't zero the whole bench
-            print(f"bench: query {name} FAILED: {e}", file=sys.stderr)
-            timings[name] = None
+            except Exception as e:
+                print(f"bench: retry of {name} FAILED (keeping first "
+                      f"measurement): {e}", file=sys.stderr)
+                entry["retry_error"] = str(e)[:200]
+            entry["final"] = round(best, 3)
+        timings[name] = round(best, 3)
 
     try:
         flagship = run_flagship(spark, sf_dir)
@@ -532,6 +550,19 @@ def main():
     except Exception as e:
         print(f"bench: comparable_to_prev failed: {e}", file=sys.stderr)
 
+    # Cache-footprint observability: selective eviction (table cache kept
+    # across queries) rests on the invariant that no gate query persists a
+    # data-scale frame. Emit the end-of-suite cached storage so the record
+    # PROVES the invariant instead of a comment asserting it — a data-scale
+    # leak would read GBs here vs the table cache's expected footprint.
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached_storage_mb = round(
+            sum(i.memSize() + i.diskSize() for i in infos) / 1e6, 1)
+        cached_rdd_count = len(infos)
+    except Exception:
+        cached_storage_mb = cached_rdd_count = None
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(json.dumps({
         "metric": "total_query_wall_sec",
@@ -552,6 +583,8 @@ def main():
         "comparable_to_prev": comparable,
         "retry_log": retry_log,
         "n_failed": sum(1 for v in timings.values() if v is None),
+        "cached_storage_mb_end_of_suite": cached_storage_mb,
+        "cached_rdd_count_end_of_suite": cached_rdd_count,
     }))
     spark.stop()
 

@@ -10,14 +10,16 @@ same host, same testdata, within minutes of each other. Per-query min
 across interleaved rounds cancels window drift; the result is a direct
 engine-vs-engine reading.
 
-Biases, both AGAINST the current engine, so a win is conservative:
+Harness symmetry — every round-4 HARNESS advantage is switched off for the
+current leg so the reading is engine-vs-engine, and the remaining biases
+run AGAINST the current engine (a win is conservative):
+* per-query canary-bracketed retries DISABLED (SPARK_GRAFT_BENCH_RETRIES=0);
+* shared table caching DISABLED (SPARK_GRAFT_CACHE_TABLES=0) — the base
+  snapshots re-scan parquet per query, so the current leg must too;
 * current-round query contracts are deeper (sketch queries also compute
   exact counterparts in-job for the driver's bound contract — VERDICT r2
-  noted ~2x work per query vs earlier definitions);
-* the current bench's per-query canary-bracketed retries are DISABLED here
-  (SPARK_GRAFT_BENCH_RETRIES=0) for runtime symmetry with the r2 harness,
-  which predates them. Each harness otherwise runs its own defaults, which
-  is exactly what BENCH_r04-vs-BENCH_r02 compares.
+  noted ~2x work per query vs earlier definitions) — this one is a bias
+  against the current engine and stays.
 
 Usage:  python scripts/engine_ab_bench.py
 Env:    AB_ROUNDS (default 2), AB_BASE_COMMIT (default 0c10225 = the r2
@@ -64,19 +66,33 @@ def main():
     rounds = int(os.environ.get("AB_ROUNDS", "2"))
     r2dir = tempfile.mkdtemp(prefix="r2_engine_ab_")
     runs = {"r2": [], "r4": []}
+    run_errors = []
     try:
         _extract_r2(r2dir)
         for i in range(rounds):
             for label, cwd, env in (
                     ("r2", r2dir, {}),
-                    ("r4", HERE, {"SPARK_GRAFT_BENCH_RETRIES": "0"})):
-                rec = _run_bench(cwd, env)
+                    ("r4", HERE, {"SPARK_GRAFT_BENCH_RETRIES": "0",
+                                  "SPARK_GRAFT_CACHE_TABLES": "0"})):
+                # One failed/timed-out run must not discard the completed
+                # rounds' measurements — record it and keep interleaving.
+                try:
+                    rec = _run_bench(cwd, env)
+                except Exception as e:
+                    run_errors.append(f"round {i + 1} {label}: "
+                                      f"{str(e)[:300]}")
+                    print(f"round {i + 1} {label}: FAILED ({e})",
+                          file=sys.stderr)
+                    continue
                 runs[label].append(rec)
                 print(f"round {i + 1} {label}: total={rec.get('value')}s "
                       f"canary={rec.get('kernel_pts_per_sec_single_core')}",
                       file=sys.stderr)
     finally:
         shutil.rmtree(r2dir, ignore_errors=True)
+    if not runs["r2"] or not runs["r4"]:
+        raise SystemExit(f"no completed runs for one engine; errors: "
+                         f"{run_errors}")
 
     def _best(recs):
         best = {}
@@ -115,9 +131,12 @@ def main():
         "n_queries_r4_slower_1p5x": sum(1 for r in slower.values()
                                         if r > 1.5),
         "per_query_ratio_r4_over_r2": ratios,
+        "rounds_completed": {k: len(v) for k, v in runs.items()},
+        "run_errors": run_errors,
         "note": ("same host, same minutes, no normalization model; r4 "
-                 "contracts are deeper per query and r4 retries disabled — "
-                 "both biases run against the r4 engine"),
+                 "harness advantages OFF (retries=0, table cache=0) for "
+                 "engine-vs-engine symmetry; r4 contracts are deeper per "
+                 "query — residual bias runs against the r4 engine"),
     }
     out_name = os.environ.get(
         "AB_OUT", "engine_ab_r2_vs_r4.json" if R2_COMMIT == "0c10225"
