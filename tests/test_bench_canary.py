@@ -46,6 +46,19 @@ def test_host_ratio_falls_back_when_snapshot_unavailable():
     assert bench._host_ratio({}, None, None) == (None, None)
 
 
+def test_host_ratio_fallback_is_matched_for_current_kernel_records():
+    # A prev record that carries an r2proto key was produced by a round-4+
+    # bench, so its single_core reading used the CURRENT kernel: pairing it
+    # with kernel_now is instrument-matched even when our own r2proto probe
+    # is unavailable (git missing), and must be labeled as such.
+    prev = {"kernel_pts_per_sec_r2proto": 8e6,
+            "kernel_pts_per_sec_single_core": 12e6}
+    ratio, instrument = bench._host_ratio(prev, kernel_r2proto=None,
+                                          kernel_now=24e6)
+    assert instrument == "single_core_current_kernel_matched"
+    assert ratio == pytest.approx(0.5)
+
+
 def test_r2proto_canary_runs_pinned_snapshot():
     """The pinned-instrument canary extracts the r2 driver snapshot and
     measures a plausible single-core rate through it (>1M pts/s even in a
