@@ -66,7 +66,15 @@ def main():
         hogs = _spawn_hogs(n_hogs)
         try:
             time.sleep(2)  # let the hogs reach steady spin
-            rec = _run_bench({})
+            # A failed/timed-out condition (likelier the more hogs) must not
+            # discard the completed conditions' measurements.
+            try:
+                rec = _run_bench({})
+            except Exception as e:
+                print(f"hogs={n_hogs}: bench FAILED ({e})", file=sys.stderr)
+                conditions.append({"hogs": n_hogs,
+                                   "error": str(e)[:300]})
+                continue
         finally:
             for p in hogs:
                 p.kill()
@@ -90,11 +98,12 @@ def main():
               f"subtotal={conditions[-1]['common_subtotal_sec']}s",
               file=sys.stderr)
 
-    # Sensitivity exponent between the extreme conditions: the slope a
-    # linear normalization implicitly assumes is 1.0.
-    lo, hi = conditions[-1], conditions[0]
+    # Sensitivity exponent between the extreme COMPLETED conditions: the
+    # slope a linear normalization implicitly assumes is 1.0.
+    ok = [c for c in conditions if "error" not in c]
     sens = None
-    if (lo["kernel_pts_per_sec_single_core"] and
+    lo, hi = (ok[-1], ok[0]) if len(ok) >= 2 else ({}, {})
+    if (lo.get("kernel_pts_per_sec_single_core") and
             hi["kernel_pts_per_sec_single_core"] and
             lo["common_subtotal_sec"] and hi["common_subtotal_sec"]):
         canary_ratio = (hi["kernel_pts_per_sec_single_core"] /
@@ -117,8 +126,8 @@ def main():
         json.dump(report, f, indent=1)
     print(json.dumps({"sensitivity_exponent": sens,
                       "conditions": [(c["hogs"],
-                                      c["kernel_pts_per_sec_single_core"],
-                                      c["common_subtotal_sec"])
+                                      c.get("kernel_pts_per_sec_single_core"),
+                                      c.get("common_subtotal_sec"))
                                      for c in conditions]}))
 
 
