@@ -124,6 +124,44 @@ def _r2proto_canary_rate() -> float | None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _retry_bracket(run, best, target, retry_factor, max_retries,
+                   retry_budget, mini_canary):
+    """Canary-bracketed retries for a query whose first measurement tripped
+    the ``retry_factor x target`` gate. ``run`` executes the query once and
+    returns elapsed seconds; ``mini_canary`` returns the 1-core host-health
+    rate. Returns ``(best, entry, remaining_retry_budget)``.
+
+    The bracket has its own try: the query already holds a valid
+    measurement, and a transient failure during a retry (likely the same
+    contention that tripped the gate) must not discard it — the error is
+    recorded in the entry and ``best`` is kept."""
+    entry = {"first_best": round(best, 3), "target": target,
+             "retries": [], "canary_pts_per_sec": []}
+    try:
+        for _ in range(max_retries):
+            if retry_budget <= 0:
+                # Distinguish "bracket completed and confirmed" from
+                # "stopped because the shared retry budget ran dry"
+                # (whether it was gone before this query or consumed
+                # mid-bracket by its own retries).
+                entry["budget_exhausted"] = True
+                break
+            tb = time.perf_counter()
+            entry["canary_pts_per_sec"].append(mini_canary())
+            dt = run()
+            entry["retries"].append(round(dt, 3))
+            retry_budget -= time.perf_counter() - tb
+            best = min(best, dt)
+            if best <= retry_factor * target:
+                break
+    except Exception as e:
+        print(f"bench: retry FAILED (keeping first measurement): {e}",
+              file=sys.stderr)
+        entry["retry_error"] = str(e)[:200]
+    entry["final"] = round(best, 3)
+    return best, entry, retry_budget
+
+
 def _host_ratio(prev_parsed: dict, kernel_r2proto, kernel_now):
     """Cross-round host-speed ratio with MATCHED canary instruments.
 
@@ -374,38 +412,14 @@ def main():
             continue
         target = prior_best.get(name)
         if target is not None and best > retry_factor * target:
-            # The retry bracket gets its own try: the query already has a
-            # valid measurement, and a transient failure during a retry
-            # (the same contention that tripped the gate) must not discard
-            # it — record the error in the bracket entry and keep `best`.
-            entry = {"first_best": round(best, 3),
-                     "target": target, "retries": [],
-                     "canary_pts_per_sec": []}
+            def _run_once(fn=fn):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                return time.perf_counter() - t0
+            best, entry, retry_budget = _retry_bracket(
+                _run_once, best, target, retry_factor, max_retries,
+                retry_budget, _mini_canary)
             retry_log[name] = entry
-            try:
-                for _ in range(max_retries):
-                    if retry_budget <= 0:
-                        # Distinguish "bracket completed and confirmed" from
-                        # "stopped because the shared retry budget ran dry"
-                        # (whether it was gone before this query or consumed
-                        # mid-bracket by its own retries).
-                        entry["budget_exhausted"] = True
-                        break
-                    tb = time.perf_counter()
-                    entry["canary_pts_per_sec"].append(_mini_canary())
-                    t0 = time.perf_counter()
-                    fn(spark, sf_dir).collect()
-                    dt = time.perf_counter() - t0
-                    entry["retries"].append(round(dt, 3))
-                    retry_budget -= time.perf_counter() - tb
-                    best = min(best, dt)
-                    if best <= retry_factor * target:
-                        break
-            except Exception as e:
-                print(f"bench: retry of {name} FAILED (keeping first "
-                      f"measurement): {e}", file=sys.stderr)
-                entry["retry_error"] = str(e)[:200]
-            entry["final"] = round(best, 3)
         timings[name] = round(best, 3)
 
     try:

@@ -67,3 +67,43 @@ def test_r2proto_canary_runs_pinned_snapshot():
     if rate is None:
         pytest.skip("git or r2 snapshot unavailable in this environment")
     assert rate > 1e6
+
+
+def _canary_stub():
+    return 1e6
+
+
+def test_retry_bracket_rescues_slow_query():
+    # First measurement 9s vs target 2s trips the gate; the retry lands at
+    # 2.5s (<= 1.5x target) and the bracket stops early with the better best.
+    times = iter([2.5])
+    best, entry, budget = bench._retry_bracket(
+        lambda: next(times), best=9.0, target=2.0, retry_factor=1.5,
+        max_retries=2, retry_budget=180.0, mini_canary=_canary_stub)
+    assert best == 2.5
+    assert entry["retries"] == [2.5]
+    assert entry["final"] == 2.5
+    assert "retry_error" not in entry
+    assert budget < 180.0
+
+
+def test_retry_bracket_failure_keeps_first_measurement():
+    # A transient error during the retry must not discard the valid first
+    # measurement (pre-fix behavior zeroed the query to None).
+    def boom():
+        raise RuntimeError("transient executor loss")
+    best, entry, budget = bench._retry_bracket(
+        boom, best=9.0, target=2.0, retry_factor=1.5,
+        max_retries=2, retry_budget=180.0, mini_canary=_canary_stub)
+    assert best == 9.0
+    assert entry["final"] == 9.0
+    assert "transient executor loss" in entry["retry_error"]
+
+
+def test_retry_bracket_respects_exhausted_budget():
+    best, entry, budget = bench._retry_bracket(
+        lambda: 1.0, best=9.0, target=2.0, retry_factor=1.5,
+        max_retries=2, retry_budget=0.0, mini_canary=_canary_stub)
+    assert best == 9.0
+    assert entry["budget_exhausted"] is True
+    assert entry["retries"] == []
