@@ -59,7 +59,28 @@ def _run_bench(cwd: str, extra_env: dict) -> dict:
     if out.returncode != 0:
         raise RuntimeError(f"bench in {cwd} failed rc={out.returncode}: "
                            f"{out.stderr[-500:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return _parse_bench_stdout(out.stdout)
+
+
+def _parse_bench_stdout(stdout: str) -> dict:
+    """Pick the FULL bench record: round-5 bench.py emits a trailing compact
+    summary line for the driver's tail capture, so 'last line' may be the
+    abbreviated record. Among parseable JSON lines, prefer the one with the
+    most keys (the full record is a strict superset of the compact one)."""
+    best = None
+    for line in stdout.strip().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and (best is None or len(rec) > len(best)):
+            best = rec
+    if best is None:
+        raise ValueError("no parseable JSON line in bench stdout")
+    return best
 
 
 def main():
@@ -104,7 +125,10 @@ def main():
         return best
 
     b2, b4 = _best(runs["r2"]), _best(runs["r4"])
-    common = sorted(set(b2) & set(b4))
+    # Require b2[k] > 0: per-query times are rounded to 3 decimals, so a
+    # sub-0.5ms query would divide by zero and discard the whole report
+    # after both legs already ran (ADVICE r4).
+    common = sorted(k for k in set(b2) & set(b4) if b2[k] and b2[k] > 0)
     ratios = {k: round(b4[k] / b2[k], 3) for k in common}
     slower = {k: r for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
               if r > 1.0}

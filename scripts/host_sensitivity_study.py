@@ -55,7 +55,21 @@ def _run_bench(env_extra: dict) -> dict:
     if out.returncode != 0:
         raise RuntimeError(f"bench failed rc={out.returncode}: "
                            f"{out.stderr[-500:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # Prefer the FULL record over the trailing compact summary line the
+    # round-5 bench emits for the driver's tail capture (superset of keys).
+    best = None
+    for line in out.stdout.strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and (best is None or len(rec) > len(best)):
+                best = rec
+    if best is None:
+        raise ValueError("no parseable JSON line in bench stdout")
+    return best
 
 
 def main():
@@ -100,9 +114,15 @@ def main():
 
     # Sensitivity exponent between the extreme COMPLETED conditions: the
     # slope a linear normalization implicitly assumes is 1.0.
-    ok = [c for c in conditions if "error" not in c]
+    # Extremes selected by MEASURED canary rate, not input order: an
+    # unsorted/descending SENSITIVITY_HOGS value would otherwise silently
+    # swap lo/hi and report a negative exponent (ADVICE r4).
+    ok = sorted((c for c in conditions
+                 if "error" not in c
+                 and c.get("kernel_pts_per_sec_single_core")),
+                key=lambda c: c["kernel_pts_per_sec_single_core"])
     sens = None
-    lo, hi = (ok[-1], ok[0]) if len(ok) >= 2 else ({}, {})
+    lo, hi = (ok[0], ok[-1]) if len(ok) >= 2 else ({}, {})
     if (lo.get("kernel_pts_per_sec_single_core") and
             hi["kernel_pts_per_sec_single_core"] and
             lo["common_subtotal_sec"] and hi["common_subtotal_sec"]):

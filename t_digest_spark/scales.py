@@ -333,7 +333,12 @@ class _KQuadratic:
     @staticmethod
     def q(k, normalizer):
         k = np.asarray(k, dtype=np.float64)
-        return np.sqrt(normalizer * (normalizer + 3.0 * k)) / normalizer - 1.0
+        # Out-of-domain k (k < -normalizer/3, probed by the Java-vector
+        # parity sweep) makes the radicand negative; Java returns NaN
+        # silently, so suppress numpy's RuntimeWarning to match.
+        with np.errstate(invalid="ignore"):
+            return (np.sqrt(normalizer * (normalizer + 3.0 * k))
+                    / normalizer - 1.0)
 
     @staticmethod
     def max(q, normalizer):
