@@ -926,9 +926,14 @@ def q_digest_compare_flags(spark, sf_dir):
     """Distribution drift scoring (Comparison.java semantics): KS + chi2 of
     each returnflag's price digest against flag N's digest, with a bound
     contract: the digest KS sup-distance must sit within 0.05 of the EXACT
-    two-sample KS distance (computed via a cumulative range window — gate
-    arithmetic, not an engine operator), and chi2 must be finite and >= 0."""
-    from pyspark.sql.window import Window
+    two-sample KS distance, and chi2 must be finite and >= 0. The exact
+    side uses the range-partitioned two-pass cumulative sum
+    (refine.range_partitioned_cumsum, chunk boundaries free from the
+    already-built base digest) so a continuous column at 100x cardinality
+    parallelizes across (cmp, chunk) tasks instead of serializing one
+    full-domain sort per compared flag (VERDICT r4 #5)."""
+    from t_digest_spark.operators.refine import range_partitioned_cumsum
+    from t_digest_spark.serde import digest_from_cells
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     # dig feeds both the base row and the compared rows — materialize the 3
     # digest rows once instead of building the digest twice
@@ -967,21 +972,27 @@ def q_digest_compare_flags(spark, sf_dir):
                       F.col("l_extendedprice").alias("x"))
              .agg(F.count(F.lit(1)).alias("no"))
              .select("cmp", "x", F.lit(0).alias("nb"), "no"))
-    # per-(cmp, DISTINCT value) counts feed the cumulative window: the
-    # window's input is the distinct value domain (hash-aggregated in
-    # parallel with map-side combine), so the per-cmp ordering task is
-    # bounded by value cardinality, not data size — the same
-    # no-full-key-funnel rule topk_per_key follows
+    # per-(cmp, DISTINCT value) counts feed the cumulative sum (the domain
+    # is hash-aggregated in parallel with map-side combine); the cumsum
+    # itself is the range-partitioned two-pass form — chunk boundaries are
+    # the base digest's quantiles (3 driver rows, already materialized, so
+    # the boundaries cost nothing), and no task ever sorts more than
+    # ~1/32 of one flag's value domain.
     g = (base_g.unionByName(cmp_g).groupBy("cmp", "x")
          .agg(F.sum("nb").alias("nb"), F.sum("no").alias("no")))
-    wcum = (Window.partitionBy("cmp").orderBy("x")
-            .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy("cmp")
-    diffs = g.select(
-        "cmp",
-        F.abs(F.sum("no").over(wcum).cast("double") / F.sum("no").over(wall)
-              - F.sum("nb").over(wcum).cast("double")
-              / F.sum("nb").over(wall)).alias("d"))
+    br = dig.where(F.col("l_returnflag") == "N") \
+        .collect()[0]  # group-count digest rows (1 base row, already tiny)
+    based = digest_from_cells(br["means"], br["weights"], br["dmin"],
+                              br["dmax"], 100.0, "k2")
+    bounds = [based.quantile(i / 32.0) for i in range(1, 32)]
+    cums = range_partitioned_cumsum(g, "x", ["nb", "no"], ["cmp"],
+                                    boundaries=bounds)
+    tot = g.groupBy("cmp").agg(F.sum("nb").alias("tb"), F.sum("no").alias("to"))
+    diffs = (cums.join(F.broadcast(tot), "cmp")
+             .select("cmp",
+                     F.abs(F.col("no_cum").cast("double") / F.col("to")
+                           - F.col("nb_cum").cast("double") / F.col("tb"))
+                     .alias("d")))
     exact = diffs.groupBy("cmp").agg(F.max("d").alias("ks_exact"))
     return (scored.join(exact, scored.l_returnflag == exact.cmp)
             .select("l_returnflag", F.col("n_cmp").cast("long").alias("n_rows"),

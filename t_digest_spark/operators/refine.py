@@ -32,7 +32,7 @@ both whole-stage-codegen-able (percentile buffers only slice rows).
 from __future__ import annotations
 
 import math
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +40,74 @@ from pyspark.sql import functions as F
 
 def _sql_str(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
+
+
+def range_partitioned_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    part_cols: Sequence[str] = (),
+    boundaries: Optional[Sequence[float]] = None,
+    num_chunks: int = 64,
+    approx_rel_err: float = 0.01,
+) -> DataFrame:
+    """Cumulative sum of ``sum_cols`` ordered by ``order_col`` within each
+    ``part_cols`` group, WITHOUT a single-task per-group sort.
+
+    A plain ``Window.partitionBy(part).orderBy(x)`` cumulative sum funnels
+    each group's whole domain into one task — fine for discrete domains,
+    row-count-sized for continuous columns at scale. This is the two-pass
+    range-partitioned form instead:
+
+      1. every row buckets into a chunk by broadcastable range boundaries
+         (codegen: count of boundaries <= x over a literal array — a
+         monotone map, so chunk order == value order);
+      2. chunk TOTALS aggregate per (group, chunk) — a tiny frame, groups x
+         chunks rows — and a window over that frame (bounded by num_chunks
+         rows per group, constant at any data scale) yields each chunk's
+         prefix offset;
+      3. offsets broadcast-join back and a within-chunk cumulative window
+         runs one task per (group, chunk) over ~1/num_chunks of the domain.
+
+    ``boundaries``: explicit ascending split points. When None they come
+    from ``approxQuantile`` over ``order_col`` (one extra distributed pass);
+    pass digest-derived quantiles to skip that pass when a sketch of the
+    column is already on hand. Output: input columns plus ``<c>_cum`` for
+    each ``c`` in ``sum_cols`` (cumulative through the row, inclusive).
+    Ties in ``order_col`` within a group get an arbitrary relative order
+    (same caveat as the window form); the value at the last row of a tie
+    group is exact."""
+    from pyspark.sql.window import Window
+
+    part_cols = list(part_cols)
+    sum_cols = list(sum_cols)
+    if boundaries is None:
+        probs = [i / num_chunks for i in range(1, num_chunks)]
+        boundaries = df.approxQuantile(order_col, probs, approx_rel_err)
+    bs = sorted({float(b) for b in boundaries})
+    if bs:
+        arr = F.array(*[F.lit(b) for b in bs])
+        chunk = F.size(F.filter(arr, lambda b: b <= F.col(order_col)))
+    else:
+        chunk = F.lit(0)   # constant column: degenerate single chunk
+    dfc = df.withColumn("__chunk__", chunk)
+
+    tot = dfc.groupBy(*part_cols, "__chunk__").agg(
+        *[F.sum(c).alias(c) for c in sum_cols])
+    woff = (Window.partitionBy(*part_cols).orderBy("__chunk__")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off = tot.select(
+        *part_cols, "__chunk__",
+        *[F.coalesce(F.sum(c).over(woff), F.lit(0)).alias(f"__off_{c}__")
+          for c in sum_cols])
+
+    win = (Window.partitionBy(*part_cols, "__chunk__").orderBy(order_col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    out = dfc.join(F.broadcast(off), part_cols + ["__chunk__"])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum", F.sum(c).over(win) + F.col(f"__off_{c}__"))
+    return out.drop("__chunk__", *[f"__off_{c}__" for c in sum_cols])
 
 
 def refined_exact_quantiles(

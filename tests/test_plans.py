@@ -263,3 +263,21 @@ def test_theta_rollup_reuses_fine_sketches(spark):
     # string, but it does not re-execute once materialized.)
     assert "InMemoryTableScan" in plan
     fine.unpersist()
+
+
+def test_compare_flags_exact_ks_no_full_domain_sort(spark):
+    """The exact-KS side of digest_compare_flags must use the
+    range-partitioned cumsum: any window ordering by the value domain must
+    also partition by the chunk column (one task per (cmp, chunk), ~1/32 of
+    a flag's domain), and the old full-domain form — partition by cmp
+    alone, order by x — must not reappear (VERDICT r4 #5)."""
+    import re
+    import __spark_entry__ as em
+    df = em.queries()["digest_compare_flags"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "__chunk__" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    domain_specs = [s for s in specs if re.search(r"\bx#\d+ ASC", s)]
+    assert domain_specs, "expected a window ordered by the value domain"
+    for s in domain_specs:
+        assert "__chunk__" in s, f"full-domain sort window found: {s}"

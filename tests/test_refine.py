@@ -85,3 +85,62 @@ def test_extreme_quantiles_clamped_brackets(spark):
     want = _exact(spark, df, qs)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-9), k
+
+
+# ------------------------------------------------- range_partitioned_cumsum
+
+def _naive_cumsum(spark, df, order_col, sum_cols, part_cols):
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(*part_cols).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_cum", F.sum(c).over(w))
+    return out
+
+
+def _cum_rows(df, part_cols, order_col):
+    return sorted(
+        (tuple(r[c] for c in part_cols), r[order_col],
+         tuple(v for k, v in r.asDict().items() if k.endswith("_cum")))
+        for r in df.collect())
+
+
+def test_range_partitioned_cumsum_matches_window(spark):
+    """Distinct order values per group: the chunked two-pass form must be
+    row-for-row identical to the single-task window cumsum."""
+    from t_digest_spark.operators.refine import range_partitioned_cumsum
+    rng = np.random.default_rng(17)
+    n = 5_000
+    pdf = pd.DataFrame({
+        "g": np.array(["A", "B", "C"])[rng.integers(0, 3, n)],
+        "x": rng.permutation(n).astype(np.float64),   # distinct per group
+        "a": rng.integers(0, 10, n),
+        "b": rng.integers(0, 5, n),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = range_partitioned_cumsum(df, "x", ["a", "b"], ["g"],
+                                   boundaries=np.linspace(0, n, 33)[1:-1])
+    want = _naive_cumsum(spark, df, "x", ["a", "b"], ["g"])
+    assert _cum_rows(got, ["g"], "x") == _cum_rows(want, ["g"], "x")
+
+
+def test_range_partitioned_cumsum_approx_boundaries_and_degenerate(spark):
+    """approxQuantile-derived boundaries give the same totals; a constant
+    order column degenerates to a single chunk without erroring."""
+    from t_digest_spark.operators.refine import range_partitioned_cumsum
+    rng = np.random.default_rng(23)
+    n = 2_000
+    pdf = pd.DataFrame({"g": ["G"] * n,
+                        "x": rng.permutation(n).astype(np.float64),
+                        "a": np.ones(n, dtype=np.int64)})
+    df = spark.createDataFrame(pdf)
+    got = range_partitioned_cumsum(df, "x", ["a"], ["g"], num_chunks=16)
+    want = _naive_cumsum(spark, df, "x", ["a"], ["g"])
+    assert _cum_rows(got, ["g"], "x") == _cum_rows(want, ["g"], "x")
+    const = spark.createDataFrame(
+        pd.DataFrame({"g": ["G"] * 10, "x": [1.0] * 10,
+                      "a": np.ones(10, dtype=np.int64)}))
+    rows = range_partitioned_cumsum(const, "x", ["a"], ["g"],
+                                    boundaries=[]).collect()
+    assert sorted(r["a_cum"] for r in rows) == list(range(1, 11))
