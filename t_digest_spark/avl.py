@@ -95,6 +95,8 @@ class AVLTreeDigest:
         self.min = math.inf
         self.max = -math.inf
         self._rng = np.random.default_rng(seed)
+        self._rand_buf = None          # buffered draws (see _next_rand)
+        self._rand_i = 0
 
     # ----------------------------------------------------------------- build
 
@@ -102,29 +104,58 @@ class AVLTreeDigest:
         norm = self._scale.normalizer(self.delta, max(self.total, 1.0))
         return self.total * float(self._scale.max(q, norm))
 
+    def _next_rand(self) -> float:
+        """Buffered uniform draw. Refilling 256 at a time produces the
+        IDENTICAL stream to repeated Generator.random() calls (PCG64
+        consumes 64 bits per double either way; pinned by
+        test_avl.test_buffered_rng_stream_identity), at ~1/10th the
+        per-draw overhead."""
+        i = self._rand_i
+        buf = self._rand_buf
+        if buf is None or i >= 256:
+            buf = self._rand_buf = self._rng.random(256)
+            i = 0
+        self._rand_i = i + 1
+        return buf[i]
+
     def add(self, x: float, w: float = 1.0) -> None:
-        """AVLTreeDigest.java:85-160."""
+        """AVLTreeDigest.java:85-160.
+
+        Per-point Python cost matters here (this variant cannot vectorize
+        the way the MergingDigest sweep can), so the loop avoids numpy
+        scalar round-trips: the scale's ``max_scalar`` pure-float fast
+        path, the normalizer hoisted per point (total is fixed during one
+        add), buffered RNG draws, and an in-place mean update when the
+        centroid keeps its slot (the overwhelmingly common case — a
+        delete+reinsert pair otherwise)."""
         if math.isnan(x):
             raise ValueError("Cannot add NaN to t-digest")
         if w <= 0:
             raise ValueError("weight must be > 0")
-        self.min = min(self.min, x)
-        self.max = max(self.max, x)
-        if not self.means:
+        if x < self.min:
+            self.min = x
+        if x > self.max:
+            self.max = x
+        means = self.means
+        counts = self.counts
+        if not means:
             self._insert(x, w)
             self.total = w
             return
         # floor = last centroid with mean strictly below x (ties go left)
-        start = bisect_left(self.means, x) - 1
+        start = bisect_left(means, x) - 1
         if start < 0:
             start = 0
         # forward scan: distance decreases to the nearest neighbor(s), then
         # increases — stop at the first increase (AVLTreeDigest.java:104-115)
         min_dist = math.inf
-        last = len(self.means)
+        n = len(means)
+        last = n
         j = start
-        while j < len(self.means):
-            z = abs(self.means[j] - x)
+        while j < n:
+            z = means[j] - x
+            if z < 0.0:
+                z = -z
             if z < min_dist:
                 start = j
                 min_dist = z
@@ -133,34 +164,63 @@ class AVLTreeDigest:
                 break
             j += 1
         # uniform reservoir over nearest centroids that still have room
+        total = self.total
+        scale = self._scale
+        normf = getattr(scale, "normalizer_scalar", scale.normalizer)
+        norm = normf(self.delta, total if total > 1.0 else 1.0)
+        maxf = getattr(scale, "max_scalar", None)
         closest = -1
         n_cand = 0.0
-        head = float(sum(self.counts[:start]))
+        head = float(sum(counts[:start]))
         for j in range(start, last):
-            q0 = head / self.total
-            q1 = q0 + self.counts[j] / self.total
-            k = min(self._k_limit(q0), self._k_limit(q1))
-            if self.counts[j] + w <= k:
+            cj = counts[j]
+            q0 = head / total
+            q1 = q0 + cj / total
+            if maxf is not None:
+                k0 = total * maxf(q0, norm)
+                k1 = total * maxf(q1, norm)
+            else:
+                k0 = total * float(scale.max(q0, norm))
+                k1 = total * float(scale.max(q1, norm))
+            if cj + w <= (k0 if k0 < k1 else k1):
                 n_cand += 1
-                if self._rng.random() < 1.0 / n_cand:
+                if self._next_rand() < 1.0 / n_cand:
                     closest = j
-            head += self.counts[j]
+            head += cj
         if closest < 0:
             self._insert(x, w)
         else:
-            new_mean = _weighted_average(self.means[closest],
-                                         self.counts[closest], x, w)
-            new_count = self.counts[closest] + w
+            # inlined _weighted_average (same clamped contract; the call
+            # costs ~1us/pt at this call rate)
+            m0 = means[closest]
+            c0 = counts[closest]
+            if m0 <= x:
+                lo, lw, hi, hw = m0, c0, x, w
+            else:
+                lo, lw, hi, hw = x, w, m0, c0
+            new_mean = (lo * lw + hi * hw) / (lw + hw)
+            if new_mean < lo:
+                new_mean = lo
+            elif new_mean > hi:
+                new_mean = hi
+            new_count = c0 + w
             # in-place when the mean is unchanged, else reposition
             # (AVLGroupTree.update semantics, :171-186)
-            if new_mean == self.means[closest]:
-                self.counts[closest] = new_count
+            if new_mean == means[closest]:
+                counts[closest] = new_count
+            elif ((closest == 0 or means[closest - 1] <= new_mean)
+                    and (closest == n - 1 or new_mean < means[closest + 1])):
+                # slot unchanged under the bisect_right tie rule (<= left
+                # neighbor keeps it AFTER the equal value; strict < right
+                # neighbor keeps it BEFORE) — overwrite without list shifts
+                means[closest] = new_mean
+                counts[closest] = new_count
             else:
-                del self.means[closest]
-                del self.counts[closest]
+                del means[closest]
+                del counts[closest]
                 self._insert(new_mean, new_count)
-        self.total += w
-        if len(self.means) > 20 * self.delta:
+        self.total = total + w
+        if len(means) > 20 * self.delta:
             self.compress()
 
     def _insert(self, x: float, w: float) -> None:
@@ -170,11 +230,17 @@ class AVLTreeDigest:
 
     def add_values(self, values: Sequence[float],
                    weights: Optional[Sequence[float]] = None) -> None:
-        vals = np.asarray(values, dtype=np.float64).ravel()
-        wts = (np.asarray(weights, dtype=np.float64).ravel()
-               if weights is not None else None)
-        for i in range(vals.size):
-            self.add(float(vals[i]), float(wts[i]) if wts is not None else 1.0)
+        # .tolist() up front: the loop then works on Python floats — math
+        # on numpy scalars costs ~3x more per op than on native floats
+        vals = np.asarray(values, dtype=np.float64).ravel().tolist()
+        if weights is None:
+            add = self.add
+            for v in vals:
+                add(v)
+        else:
+            wts = np.asarray(weights, dtype=np.float64).ravel().tolist()
+            for v, w in zip(vals, wts):
+                self.add(v, w)
 
     def compress(self) -> None:
         """Single in-order adjacent-merge sweep (AVLTreeDigest.java:166-208)."""

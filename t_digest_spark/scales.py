@@ -45,8 +45,16 @@ class _K0:
         return np.full_like(np.asarray(q, dtype=np.float64), 1.0 / normalizer)
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        # pure-float fast path for per-point callers (AVL add loop): the
+        # array form's asarray round-trip costs ~1us per call
+        return 1.0 / normalizer
+
+    @staticmethod
     def normalizer(delta, n):
         return delta / 2.0
+
+    normalizer_scalar = normalizer
 
 
 class _K1:
@@ -73,8 +81,16 @@ class _K1:
         return np.where(inside, val, 0.0)
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        if not 0.0 < q < 1.0:
+            return 0.0
+        return 2.0 * math.sin(0.5 / normalizer) * math.sqrt(q * (1.0 - q))
+
+    @staticmethod
     def normalizer(delta, n):
         return delta / (2.0 * math.pi)
+
+    normalizer_scalar = normalizer
 
 
 # fastAsin piecewise-model coefficients (ScaleFunction.java:883-886), rows:
@@ -158,8 +174,17 @@ class _K2:
         return q * (1.0 - q) / normalizer
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        return q * (1.0 - q) / normalizer
+
+    @staticmethod
     def normalizer(delta, n):
         return delta / _K2._z(delta, n)
+
+    @staticmethod
+    def normalizer_scalar(delta, n):
+        # flat fast path (no _z/max call chain) for per-point callers
+        return delta / (4.0 * math.log((n if n > 1.0 else 1.0) / delta) + 24.0)
 
     @staticmethod
     def _z(delta, n):
@@ -195,9 +220,17 @@ class _K3:
         return np.minimum(q, 1.0 - q) / normalizer
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        return min(q, 1.0 - q) / normalizer
+
+    @staticmethod
     def normalizer(delta, n):
         # Z(delta, n) = 4 ln(n/delta) + 21 (ScaleFunction.java:525-528)
         return delta / (4.0 * math.log(max(n, 1.0) / delta) + 21.0)
+
+    @staticmethod
+    def normalizer_scalar(delta, n):
+        return delta / (4.0 * math.log((n if n > 1.0 else 1.0) / delta) + 21.0)
 
 
 _SPLIT = 0.5  # glued-variant split point (ScaleFunction.java:156, :370)
@@ -239,8 +272,18 @@ class _K1Glued:
         return np.where(inside, val, 0.0)
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        if not 0.0 < q < 1.0:
+            return 0.0
+        if q <= _SPLIT:
+            return math.sqrt(_SPLIT * (1 - _SPLIT)) / normalizer
+        return 2.0 * math.sin(0.5 / normalizer) * math.sqrt(q * (1.0 - q))
+
+    @staticmethod
     def normalizer(delta, n):
         return delta / (2.0 * math.pi)
+
+    normalizer_scalar = normalizer
 
 
 class _K2Glued:
@@ -281,8 +324,19 @@ class _K2Glued:
                         q * (1.0 - q) / normalizer)
 
     @staticmethod
+    def max_scalar(q, normalizer):
+        s = _SPLIT
+        if q <= s:
+            return s * (1 - s) / normalizer
+        return q * (1.0 - q) / normalizer
+
+    @staticmethod
     def normalizer(delta, n):
         return delta / (4.0 * math.log(max(n, 1.0) / delta) + 24.0)
+
+    @staticmethod
+    def normalizer_scalar(delta, n):
+        return delta / (4.0 * math.log((n if n > 1.0 else 1.0) / delta) + 24.0)
 
 
 class _K3Glued:

@@ -257,3 +257,29 @@ def test_avl_singleton_in_a_crowd_port():
     assert d.max == 20.0
     assert d.quantile(1.0) == 20.0
     assert abs(d.quantile(0.5) - 10.0) < 1e-9
+
+
+def test_buffered_rng_stream_identity():
+    """_next_rand's 256-draw refill must reproduce the exact per-call
+    Generator.random() stream (PCG64 consumes 64 bits per double either
+    way) — the r5 speedup may not perturb reservoir tie-breaks."""
+    import numpy as np
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest(seed=7)
+    got = [d._next_rand() for _ in range(600)]
+    ref = np.random.default_rng(7)
+    want = [ref.random() for _ in range(600)]
+    assert got == want
+
+
+def test_avltree_aggregate_row_budget_guard(spark):
+    """A task over budget must fail fast with guidance, not burn hours in
+    the per-point kernel; within budget is unaffected."""
+    import pytest as _pytest
+    from t_digest_spark.operators.aggregation import avltree_aggregate
+    df = spark.range(2_000).selectExpr(
+        "cast(id as double) as x").coalesce(1)
+    ok = avltree_aggregate(df, "x", max_rows_per_task=5_000).collect()
+    assert len(ok) == 1
+    with _pytest.raises(Exception, match="max_rows_per_task"):
+        avltree_aggregate(df, "x", max_rows_per_task=1_000).collect()

@@ -162,3 +162,23 @@ def test_k1_fast_digest_build():
         rank = np.searchsorted(srt, d.quantile(q)) / len(srt)
         assert abs(rank - q) < 0.01, q
     d.check_weights()
+
+
+def test_scalar_fast_paths_match_array_forms():
+    """max_scalar / normalizer_scalar (the AVL per-point fast paths) must
+    agree exactly with the vectorized forms they shadow."""
+    import numpy as np
+    from t_digest_spark.scales import get_scale
+    qs = [0.0, 1e-12, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0 - 1e-12, 1.0]
+    for name in ("k0", "k1", "k2", "k3", "k1_glued", "k2_glued"):
+        sc = get_scale(name)
+        maxf = getattr(sc, "max_scalar", None)
+        normf = getattr(sc, "normalizer_scalar", None)
+        assert maxf is not None, name
+        assert normf is not None, name
+        for delta, n in ((100.0, 1.0), (100.0, 1e6), (500.0, 1e9)):
+            assert normf(delta, n) == float(sc.normalizer(delta, n)), (name, n)
+            norm = float(sc.normalizer(delta, n))
+            for q in qs:
+                assert maxf(q, norm) == float(np.asarray(sc.max(q, norm))), \
+                    (name, q)
