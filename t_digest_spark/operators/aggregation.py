@@ -143,9 +143,27 @@ def _merge_group(pdf: pd.DataFrame, group_cols: List[str], delta: float,
                         columns=group_cols + [f.name for f in DIGEST_FIELDS])
 
 
+# Measured salting crossover (BENCH.md §6, scripts/skew_bench.py): below
+# ~2,000 partials per group the extra salted shuffle round costs ~3x; above
+# it the unsalted hot-key final merge becomes the straggler (22s at 4,096
+# partials) and one salted level wins 3.1x.
+SALT_CROSSOVER_PARTIALS = 2000
+
+
+def decide_salt_levels(n_partitions: int,
+                       crossover: int = SALT_CROSSOVER_PARTIALS) -> int:
+    """Auto-salting decision (VERDICT r4 #9): a group's partial fan-in is
+    bounded by (and for hot keys equals) the number of input partitions, so
+    the partition count is the observable proxy for the measured per-group
+    crossover. One level suffices — 64 salt buckets push the per-task
+    fan-in back under the crossover for any realistic split count
+    (2000 * 64 = 128k partitions)."""
+    return 1 if n_partitions > crossover else 0
+
+
 def tdigest_merge(partials: DataFrame, group_cols: Optional[Sequence[str]] = None,
                   delta: float = 100.0, scale: str = "k2",
-                  salt_levels: int = 0, compress: bool = True) -> DataFrame:
+                  salt_levels=0, compress: bool = True) -> DataFrame:
     """Merge partial-digest rows down to one digest row per group.
 
     ``salt_levels > 0`` inserts intermediate salted merge rounds (fan-in control
@@ -157,8 +175,12 @@ def tdigest_merge(partials: DataFrame, group_cols: Optional[Sequence[str]] = Non
     round costs ~3x; at 4,096 partials per group the unsalted hot-key merge
     becomes a 22s straggler and one salted level wins 3.1x. Default to 0;
     set 1 when hot groups see thousands of input partitions (any 100-TB
-    scan does).
+    scan does) — or pass ``salt_levels="auto"`` to apply exactly that rule
+    from the partial frame's planned partition count (decide_salt_levels;
+    no job is triggered).
     """
+    if salt_levels == "auto":
+        salt_levels = decide_salt_levels(partials.rdd.getNumPartitions())
     group_cols = list(group_cols or [])
     df = partials
     added_key = False
@@ -192,9 +214,14 @@ def tdigest_aggregate(df: DataFrame, value_col: str,
                       group_cols: Optional[Sequence[str]] = None,
                       delta: float = 100.0, scale: str = "k2",
                       weight_col: Optional[str] = None,
-                      salt_levels: int = 0, compress: bool = True,
+                      salt_levels=0, compress: bool = True,
                       pre_aggregate: bool = False) -> DataFrame:
     """End-to-end: raw rows -> one digest row per group (partial + final).
+
+    ``salt_levels``: 0 (default), N intermediate salted merge rounds, or
+    "auto" — applies the measured BENCH.md §6 crossover rule against the
+    partial frame's partition count (decide_salt_levels) so a 100 TB scan
+    with 10k+ splits gets the salted plan without reading the docstring.
 
     delta sizing at extreme group counts: K_2's normalizer grows with
     log(n), so at ~10^12 rows per group delta=100 leaves only ~45-56

@@ -271,3 +271,34 @@ def test_sql_theta_and_frequent_functions(spark):
         "SELECT frequent_estimate(keys, counts, max_error, n, k, '3') AS c "
         "FROM fi").collect()[0].c
     assert got == df.where("key = 3").count()
+
+
+# ------------------------------------------------------------- auto-salting
+
+def test_decide_salt_levels_crossover():
+    from t_digest_spark.operators.aggregation import (SALT_CROSSOVER_PARTIALS,
+                                                      decide_salt_levels)
+    assert decide_salt_levels(1) == 0
+    assert decide_salt_levels(SALT_CROSSOVER_PARTIALS) == 0
+    assert decide_salt_levels(SALT_CROSSOVER_PARTIALS + 1) == 1
+    assert decide_salt_levels(200_000) == 1
+    assert decide_salt_levels(100, crossover=50) == 1
+
+
+def test_auto_salt_small_input_matches_unsalted(spark):
+    """At local partition counts auto resolves to 0 levels: the result must
+    be IDENTICAL (same plan) to the unsalted merge."""
+    import numpy as np
+    import pandas as pd
+    from t_digest_spark.operators.aggregation import tdigest_aggregate
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": np.array(["a", "b"])[rng.integers(0, 2, 20_000)],
+        "x": rng.normal(0, 1, 20_000)})).repartition(8)
+    auto = {r["g"]: (list(r["means"]), list(r["weights"]))
+            for r in tdigest_aggregate(df, "x", ["g"],
+                                       salt_levels="auto").collect()}
+    plain = {r["g"]: (list(r["means"]), list(r["weights"]))
+             for r in tdigest_aggregate(df, "x", ["g"],
+                                        salt_levels=0).collect()}
+    assert auto == plain
