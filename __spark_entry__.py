@@ -55,7 +55,7 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table loader. With SPARK_GRAFT_CACHE_TABLES=1 (set by bench.py) the
     scan is cached ONCE per (sf_dir, table) and shared across the whole
-    suite — the bench's 57 queries re-read lineitem/events/documents dozens
+    suite — the bench's 60 queries re-read lineitem/events/documents dozens
     of times otherwise (VERDICT r3 #5). Off by default: the correctness
     driver and ad-hoc users get plain scans with full pushdown.
 
