@@ -189,9 +189,12 @@ def _pinned_canary(rec: dict):
     instrument, so readings from different kernel generations are
     comparable. Preference order: the record's own r2proto probe; its
     current-kernel reading divided by its measured same-window kernel
-    speedup; else the raw single-core reading (r2-era records measured the
-    r2-era kernel, which IS the pinned instrument). Returns
-    (rate, instrument_label) or (None, None)."""
+    speedup; else branch on the record's kernel identity
+    (kernel_generation, stamped from git history): a pre-speedup kernel's
+    raw reading IS the pinned instrument, while a post-speedup record
+    without its own probe is EXCLUDED (returning it raw would fold the
+    kernel speedup into the host span — ADVICE r4). Returns
+    (rate, instrument_label); rate is None for excluded/absent."""
     r2p = rec.get("kernel_pts_per_sec_r2proto")
     if r2p:
         return r2p, "r2proto"
@@ -199,8 +202,13 @@ def _pinned_canary(rec: dict):
     spd = rec.get("kernel_speedup_vs_r2proto_same_window")
     if sc and spd:
         return sc / spd, "single_core_deflated"
-    if sc:
+    gen = rec.get("kernel_generation")
+    if sc and gen == "pre-231b145":
         return sc, "single_core_r2_era"
+    if sc and (gen == "post-231b145" or rec.get("kernel_commit")):
+        return None, "excluded_current_kernel_no_probe"
+    if sc:
+        return sc, "single_core_r2_era_assumed"
     return None, None
 
 
@@ -633,11 +641,13 @@ def main():
                     rd = json.load(open(rf))
                     rc = rd.get("comparable_to_prev") or {}
                     canary, instr = _pinned_canary(rd)
-                    if (rd.get("sf") == sf and canary
+                    if (rd.get("sf") == sf
                             and rc.get("vs") == prev_name
-                            and rc.get("subtotal_now_sec")):
-                        pts.append([canary, rc["subtotal_now_sec"]])
+                            and rc.get("subtotal_now_sec") and instr):
                         instruments[instr] = instruments.get(instr, 0) + 1
+                        if canary:      # excluded instruments count in the
+                            pts.append([canary, rc["subtotal_now_sec"]])
+                        # mix but contribute no point (no pinned reading)
                 now_canary, now_instr = _pinned_canary({
                     "kernel_pts_per_sec_r2proto": kernel_r2proto,
                     "kernel_pts_per_sec_single_core": kernel_pts_per_sec,

@@ -107,3 +107,47 @@ def test_retry_bracket_respects_exhausted_budget():
     assert best == 9.0
     assert entry["budget_exhausted"] is True
     assert entry["retries"] == []
+
+
+def test_pinned_canary_instrument_branches():
+    """_pinned_canary must never return a current-kernel reading as if it
+    were the pinned r2proto instrument (ADVICE r4: that folds the kernel
+    speedup into the host span)."""
+    # own probe wins
+    assert bench._pinned_canary(
+        {"kernel_pts_per_sec_r2proto": 10.0,
+         "kernel_pts_per_sec_single_core": 12.0}) == (10.0, "r2proto")
+    # deflate by the record's own measured speedup
+    rate, instr = bench._pinned_canary(
+        {"kernel_pts_per_sec_single_core": 12.0,
+         "kernel_speedup_vs_r2proto_same_window": 1.2})
+    assert rate == 10.0 and instr == "single_core_deflated"
+    # pre-speedup kernel: raw reading IS the pinned instrument
+    assert bench._pinned_canary(
+        {"kernel_pts_per_sec_single_core": 8.0,
+         "kernel_generation": "pre-231b145"}) == (8.0, "single_core_r2_era")
+    # post-speedup record without a probe: excluded, not mislabeled
+    rate, instr = bench._pinned_canary(
+        {"kernel_pts_per_sec_single_core": 12.0,
+         "kernel_generation": "post-231b145"})
+    assert rate is None and instr == "excluded_current_kernel_no_probe"
+    rate, instr = bench._pinned_canary(
+        {"kernel_pts_per_sec_single_core": 12.0, "kernel_commit": "abc1234"})
+    assert rate is None and instr == "excluded_current_kernel_no_probe"
+    # legacy record with no identity info at all: assumption is labeled
+    rate, instr = bench._pinned_canary(
+        {"kernel_pts_per_sec_single_core": 8.0})
+    assert rate == 8.0 and instr == "single_core_r2_era_assumed"
+    assert bench._pinned_canary({}) == (None, None)
+
+
+def test_host_ratio_branches_on_kernel_commit():
+    # same kernel commit -> matched instrument against kernel_now
+    ratio, instr = bench._host_ratio(
+        {"kernel_pts_per_sec_single_core": 10.0, "kernel_commit": "k1"},
+        kernel_r2proto=None, kernel_now=20.0, kernel_commit_now="k1")
+    assert ratio == 0.5 and instr == "single_core_same_kernel_commit"
+    ratio, instr = bench._host_ratio(
+        {"kernel_pts_per_sec_single_core": 10.0, "kernel_commit": "k0"},
+        kernel_r2proto=None, kernel_now=20.0, kernel_commit_now="k1")
+    assert instr == "single_core_mismatched_kernels"
