@@ -90,11 +90,16 @@ def main():
     run_errors = []
     try:
         _extract_r2(r2dir)
+        # SAME harness-disabling env on BOTH legs: the r2-era snapshot
+        # predates these variables (no-op there), while an r4+ base would
+        # otherwise race with retries/table-cache ON against a current leg
+        # with them OFF — engine+harness, not engine-vs-engine.
+        sym_env = {"SPARK_GRAFT_BENCH_RETRIES": "0",
+                   "SPARK_GRAFT_CACHE_TABLES": "0"}
         for i in range(rounds):
             for label, cwd, env in (
-                    ("r2", r2dir, {}),
-                    ("r4", HERE, {"SPARK_GRAFT_BENCH_RETRIES": "0",
-                                  "SPARK_GRAFT_CACHE_TABLES": "0"})):
+                    ("r2", r2dir, sym_env),
+                    ("r4", HERE, sym_env)):
                 # One failed/timed-out run must not discard the completed
                 # rounds' measurements — record it and keep interleaving.
                 try:
