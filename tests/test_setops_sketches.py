@@ -118,7 +118,7 @@ class TestFrequentItemsKernel:
         rng = np.random.default_rng(7)
         vals = self._zipf_stream(rng, 100_000)
         s = FrequentItemsSketch(k=256)
-        for chunk in np.array_split(vals, 13):
+        for chunk in np.array_split(vals.to_numpy(), 13):
             s.update_batch(pd.Series(chunk))
         true = vals.value_counts()
         assert s.max_error <= s.n // (s.k + 1) + 1
@@ -143,7 +143,7 @@ class TestFrequentItemsKernel:
         rng = np.random.default_rng(9)
         vals = self._zipf_stream(rng, 200_000)
         parts = []
-        for chunk in np.array_split(vals, 16):
+        for chunk in np.array_split(vals.to_numpy(), 16):
             p = FrequentItemsSketch(k=256)
             p.update_batch(pd.Series(chunk))
             parts.append(p)
