@@ -218,10 +218,9 @@ def _scaling_evidence(here: str):
     the driver-visible bench record instead of side files). Returns
     (full_block, compact_dict) — compact is a few name:eff pairs sized for
     the final summary line."""
-    files = ("scaling_report.json", "scaling_report_8_32.json",
-             "scaling_report_8_32_256m.json", "scaling_report_8_32_r5.json",
-             "scaling_report_8_32_256m_r5.json",
-             "scaling_report_8_32_256m_r5b.json")
+    import glob as _glob
+    files = sorted(os.path.basename(p) for p in
+                   _glob.glob(os.path.join(here, "scaling_report*.json")))
     full, compact = [], {}
     for fn in files:
         try:
