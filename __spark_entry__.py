@@ -1596,6 +1596,71 @@ def q_kll_estimation_events(spark, sf_dir):
                  (F.abs(_midrank(x, "e90", n) - 0.9) <= bound).alias("p90_ok")))
 
 
+def q_hll_estimation_daily(spark, sf_dir):
+    """ESTIMATION-regime HLL gate (completes the VERDICT r4 #3 family for
+    the distinct-count sketch): lgk=6 (64 registers) << distinct
+    (user_id, day) tuples per type (153 at sf0.001, ~16k at sf0.1), so
+    every register holds a max over many hashes — the dense estimation
+    regime a 100 TB deployment runs in, unlike the lgk=12 exact-mode gate
+    (`hll_distinct_users`, distinct << registers). HLL registers are
+    order-insensitive maxima, so the estimate is a pure function of the
+    distinct set: the is_estimation flag (exact > 64) and the 3-sigma
+    relative-error contract (|est-exact|/exact <= 3*1.04/sqrt(2^lgk) =
+    0.39; measured max across SFs 0.243) are deterministic booleans the
+    oracle pins TRUE. Exact counts compute in the same aggregate.
+
+    Reference anchor: DataSketches HllSketch RSE = 1.04/sqrt(k)
+    (Spark's hll_sketch_agg wraps the same library)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.concat_ws("|", F.col("user_id").cast("string"),
+                              F.date_trunc("day", "ts").cast("date")
+                              .cast("string")).alias("tup"),
+                  "user_id", F.date_trunc("day", "ts").cast("date").alias("day")))
+    bound = 3 * 1.04 / (2 ** 6) ** 0.5
+    agg = (ev.groupBy("event_type")
+           .agg(F.hll_sketch_agg("tup", F.lit(6)).alias("hll"),
+                F.countDistinct("user_id", "day").alias("exact")))
+    return agg.select(
+        "event_type", F.col("exact").cast("long").alias("exact_tuples"),
+        (F.col("exact") > 64).alias("is_estimation"),
+        ((F.abs(F.hll_sketch_estimate("hll") - F.col("exact"))
+          / F.col("exact")) <= bound).alias("within_bound"))
+
+
+def q_countmin_estimation_users(spark, sf_dir):
+    """ESTIMATION-regime count-min gate (VERDICT r4 #3 family, frequency
+    sketch): width w=8 << distinct users (15 at sf0.001, 1500 at sf0.1)
+    forces every counter to carry collisions — unlike the exact-regime
+    `countmin_hot_users` gate (w=4096 >> keys). Count-min's deterministic
+    one-sided guarantee (estimate >= true, always) and the depth-5
+    Markov-concentrated excess bound (min over d rows; contract
+    excess <= 2N/w per key, measured max 0.13N vs the 0.25N bound) are
+    checked for EVERY distinct key in-job and reported as violation
+    counts the oracle pins to 0 — a single summary row, no tie-break
+    sensitivity.
+
+    Reference anchor: Cormode & Muthukrishnan count-min bounds
+    (estimate <= true + e*N/w with prob 1-(1/e)^d)."""
+    from t_digest_spark.sketches.spark import countmin_aggregate, countmin_estimate
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cm = countmin_aggregate(ev, "user_id", d=5, w=8)
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    # N rides along from the sketch row itself (its `n` field is the total
+    # stream weight) — a 1-row broadcast, no second scan
+    est = countmin_estimate(cm, true, "user_id") \
+        .crossJoin(F.broadcast(cm.select(F.col("n").alias("N"))))
+    return (est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("true_n").cast("long").alias("n_events"),
+        F.sum((F.col("cm_estimate") < F.col("true_n")).cast("long"))
+        .cast("long").alias("n_undercounts"),
+        F.sum((F.col("cm_estimate") - F.col("true_n")
+               > 2.0 * F.col("N") / 8).cast("long"))
+        .cast("long").alias("n_exceed_bound"))
+        .withColumn("is_estimation", F.col("n_users") > F.lit(8)))
+
+
 def q_bottomk_user_sample(spark, sf_dir):
     """Deterministic mergeable distinct sample: the 7 distinct users with
     the smallest md5(user_id) per event type. Membership is a pure function
@@ -1622,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) new this round, never driver-checked ---
         "theta_estimation_daily": q_theta_estimation_daily,
         "kll_estimation_events": q_kll_estimation_events,
+        "hll_estimation_daily": q_hll_estimation_daily,
+        "countmin_estimation_users": q_countmin_estimation_users,
         # --- (c) r3-green but dropped by the r4 50-query cap ---
         "dedup_components": q_dedup_components,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2047,6 +2114,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, true AS compacted,
                    true AS p50_ok, true AS p90_ok
             FROM events GROUP BY event_type
+        """,
+        "hll_estimation_daily": """
+            SELECT event_type,
+                   count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
+                       AS exact_tuples,
+                   true AS is_estimation,
+                   true AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "countmin_estimation_users": """
+            SELECT cast(count(DISTINCT user_id) as bigint) AS n_users,
+                   cast(count(*) as bigint) AS n_events,
+                   cast(0 as bigint) AS n_undercounts,
+                   cast(0 as bigint) AS n_exceed_bound,
+                   true AS is_estimation
+            FROM events
         """,
         "req_tail_quantiles": """
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
