@@ -197,6 +197,15 @@ def benchmark_grid(rng) -> dict:
             a.add(float(x))
         out[f"tree_c{comp}_ns"] = round(
             (time.perf_counter() - t0) / len(tree_data) * 1e9, 1)
+
+        # the batched ingest the Spark path (avltree_aggregate) actually
+        # drives: add_values routes through the bit-identical C loop
+        # (_avl_native) when a compiler is present, Python otherwise
+        a2 = AVLTreeDigest(delta=float(comp))
+        t0 = time.perf_counter()
+        a2.add_values(tree_data)
+        out[f"tree_native_c{comp}_ns"] = round(
+            (time.perf_counter() - t0) / len(tree_data) * 1e9, 1)
     return out
 
 

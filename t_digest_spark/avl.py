@@ -230,16 +230,25 @@ class AVLTreeDigest:
 
     def add_values(self, values: Sequence[float],
                    weights: Optional[Sequence[float]] = None) -> None:
+        arr = np.asarray(values, dtype=np.float64).ravel()
+        warr = (None if weights is None
+                else np.asarray(weights, dtype=np.float64).ravel())
+        # C fast path (same algorithm, same RNG stream, bit-identical —
+        # see _avl_native); falls through to the Python loop for non-k2
+        # scales, invalid inputs (which must raise at the exact offending
+        # point), or when no compiler is available
+        from t_digest_spark import _avl_native
+        if _avl_native.batch_add(self, arr, warr):
+            return
         # .tolist() up front: the loop then works on Python floats — math
         # on numpy scalars costs ~3x more per op than on native floats
-        vals = np.asarray(values, dtype=np.float64).ravel().tolist()
-        if weights is None:
+        vals = arr.tolist()
+        if warr is None:
             add = self.add
             for v in vals:
                 add(v)
         else:
-            wts = np.asarray(weights, dtype=np.float64).ravel().tolist()
-            for v, w in zip(vals, wts):
+            for v, w in zip(vals, warr.tolist()):
                 self.add(v, w)
 
     def compress(self) -> None:
@@ -303,8 +312,10 @@ class AVLTreeDigest:
             if other.total > 0:
                 self.min = min(self.min, other.min)
                 self.max = max(self.max, other.max)
-            for m, c in zip(other.means, other.counts):
-                self.add(m, c)
+            if other.means:
+                # same in-order fold as the per-point loop, through the
+                # batched path (native-accelerated when available)
+                self.add_values(other.means, other.counts)
         return self
 
     # ----------------------------------------------------------------- query
