@@ -327,16 +327,18 @@ def avltree_aggregate(df: DataFrame, value_col: str,
     (no raw-row shuffle); the final merge re-adds partial centroids in
     order, the reference's add(List<TDigest>) contract (:75-83).
 
-    ROW BUDGET (the explicit scale guard, VERDICT r4 #4): the per-point
-    kernel runs at ~3-6 us/pt in Python (measured grid, delta 20-500) vs
-    ~40-130 ns/pt for the vectorized MergingDigest sweep — ~50x. Each
-    TASK therefore processes its partition's rows at ~0.2-0.3M pts/s; a
-    partition above ``max_rows_per_task`` rows (default 5e7, ~3-5 min of
-    single-task wall) raises at build time with guidance instead of
-    silently burning hours on a 100x scale-up. Raise the cap (or pass
-    None) only when the per-task wall is acceptable; for throughput, use
-    ``tdigest_aggregate`` — the two agree within the published accuracy
-    envelope (tests/test_accuracy_distributions.py).
+    ROW BUDGET (the explicit scale guard, VERDICT r4 #4): on hosts with a
+    C compiler the batched ingest runs the bit-identical native kernel
+    (t_digest_spark/_avl_native.py, ~0.16-0.36 us/pt — parity with the
+    Java tree; a 5e7-row task is ~10-20s); without one it falls back to
+    the Python loop at ~3-6 us/pt (measured grid, delta 20-500), where a
+    partition above ``max_rows_per_task`` rows (default 5e7) would burn
+    ~3-5 min of single-task wall — the guard raises at build time with
+    guidance instead of silently burning hours on a 100x scale-up. Raise
+    the cap (or pass None) only when the per-task wall is acceptable; for
+    throughput, use ``tdigest_aggregate`` (vectorized sweep, ~40-130
+    ns/pt) — the two agree within the published accuracy envelope
+    (tests/test_accuracy_distributions.py).
     """
     from t_digest_spark.avl import AVLTreeDigest
 
@@ -353,12 +355,13 @@ def avltree_aggregate(df: DataFrame, value_col: str,
             if max_rows_per_task is not None and rows_seen > max_rows_per_task:
                 raise ValueError(
                     f"avltree_aggregate: task exceeded max_rows_per_task="
-                    f"{max_rows_per_task} (the AVL parity kernel is "
-                    f"per-point Python, ~3-6us/pt). Repartition the input "
-                    f"so each task stays under the budget, raise the cap / "
+                    f"{max_rows_per_task} (the AVL kernel is per-point: "
+                    f"~0.2-0.4us/pt with the native fast path, ~3-6us/pt "
+                    f"in the Python fallback). Repartition the input so "
+                    f"each task stays under the budget, raise the cap / "
                     f"pass max_rows_per_task=None if the per-task wall is "
-                    f"acceptable, or use tdigest_aggregate (vectorized, "
-                    f"~50x faster) for the scale path.")
+                    f"acceptable, or use tdigest_aggregate (vectorized "
+                    f"sweep) for the scale path.")
             vals = pdf[value_col].to_numpy(dtype=np.float64, copy=False)
             if group_cols:
                 codes, uniques = _factorize_groups(pdf, group_cols)
