@@ -93,6 +93,11 @@ def ladder(rng) -> dict:
     for x in data:
         d.add(float(x))
     rows["avl_lg16_ns"] = round((time.perf_counter() - t0) / n * 1e9, 1)
+    d2 = AVLTreeDigest(delta=500.0, scale="k2_glued")
+    t0 = time.perf_counter()
+    d2.add_values(data)                  # native C loop when available
+    rows["avl_lg16_native_ns"] = round(
+        (time.perf_counter() - t0) / n * 1e9, 1)
     return rows
 
 

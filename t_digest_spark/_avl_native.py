@@ -19,10 +19,11 @@ construction and pinned by tests/test_avl_native.py:
     pattern, so mixing native and pure-Python adds on one digest stays
     on one stream.
 
-Scope: scale k2 only (the package default and the gate configuration);
-any other scale, invalid inputs (NaN / non-positive weights, which must
-raise at the exact offending point), a missing compiler, or a failed
-self-test silently falls back to the pure-Python loop. The rare compress
+Scope: scales k2 (the package default and the gate configuration) and
+k2_glued (the SpeedComparison parity cell); any other scale, invalid
+inputs (NaN / non-positive weights, which must raise at the exact
+offending point), a missing compiler, or a failed self-test silently
+falls back to the pure-Python loop. The rare compress
 (> 20*delta live centroids) returns control to Python — it is amortized
 over thousands of adds and consumes no RNG.
 """
@@ -50,13 +51,22 @@ static double next_rand(double *buf, long *i, refill_fn refill) {
     return buf[(*i)++];
 }
 
-/* One batch of AVLTreeDigest adds, scale k2. Returns the number of
-   points consumed; a return < nv means the compress trigger fired
-   (n > 20*delta) and the caller must compress and re-enter. */
+/* k-limit term: k2 is q(1-q)/norm; k2_glued is flat (0.25/norm) below
+   the 0.5 split and k2 above it (ScaleFunction.java:368-456 via
+   scales.py max_scalar — identical FP expressions) */
+static double kmax(double q, double norm, int glued) {
+    if (glued && q <= 0.5) return 0.5 * (1.0 - 0.5) / norm;
+    return q * (1.0 - q) / norm;
+}
+
+/* One batch of AVLTreeDigest adds, scale k2 or k2_glued (glued flag).
+   Returns the number of points consumed; a return < nv means the
+   compress trigger fired (n > 20*delta) and the caller must compress
+   and re-enter. */
 long avl_add_batch(double *means, double *counts, long *n_io,
                    const double *vals, const double *wts, long nv,
                    double *total_io, double *min_io, double *max_io,
-                   double delta,
+                   double delta, int glued,
                    double *rand_buf, long *rand_i_io, refill_fn refill) {
     long n = *n_io;
     double total = *total_io, mn = *min_io, mx = *max_io;
@@ -103,8 +113,8 @@ long avl_add_batch(double *means, double *counts, long *n_io,
             double cj = counts[j];
             double q0 = head / total;
             double q1 = q0 + cj / total;
-            double k0 = total * (q0 * (1.0 - q0) / norm);
-            double k1 = total * (q1 * (1.0 - q1) / norm);
+            double k0 = total * kmax(q0, norm, glued);
+            double k1 = total * kmax(q1, norm, glued);
             double lim = k0 < k1 ? k0 : k1;
             if (cj + w <= lim) {
                 n_cand += 1.0;
@@ -199,7 +209,7 @@ def _build() -> "ctypes.CDLL | None":
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
-        ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
         _REFILL_CB,
     ]
@@ -221,11 +231,19 @@ def _self_test(lib) -> bool:
     nat = AVLTreeDigest(delta=20, seed=7)
     if not _batch_add_with(lib, nat, vals, wts):
         return False
-    return (nat.means == ref.means and nat.counts == ref.counts
+    if not (nat.means == ref.means and nat.counts == ref.counts
             and nat.total == ref.total and nat.min == ref.min
             and nat.max == ref.max and nat._rand_i == ref._rand_i
             and ((nat._rand_buf is None and ref._rand_buf is None)
-                 or np.array_equal(nat._rand_buf, ref._rand_buf)))
+                 or np.array_equal(nat._rand_buf, ref._rand_buf))):
+        return False
+    gref = AVLTreeDigest(delta=50, scale="k2_glued", seed=3)
+    for v in vals[:2000].tolist():
+        gref.add(v)
+    gnat = AVLTreeDigest(delta=50, scale="k2_glued", seed=3)
+    if not _batch_add_with(lib, gnat, vals[:2000], None):
+        return False
+    return gnat.means == gref.means and gnat.counts == gref.counts
 
 
 def _get_lib():
@@ -282,6 +300,7 @@ def _batch_add_with(lib, digest, vals: np.ndarray,
             ctypes.byref(total_io), ctypes.byref(min_io),
             ctypes.byref(max_io),
             digest.delta,
+            1 if getattr(digest._scale, "name", None) == "k2_glued" else 0,
             rand_buf.ctypes.data_as(dbl_p), ctypes.byref(rand_i_io),
             _refill)
         n0 = n_io.value
@@ -300,9 +319,9 @@ def _batch_add_with(lib, digest, vals: np.ndarray,
 
 def batch_add(digest, vals: np.ndarray, wts: "np.ndarray | None") -> bool:
     """Native add_values. Returns False (caller must run the Python loop)
-    when the scale is not k2, inputs need Python's per-point error
-    semantics, or the native library is unavailable."""
-    if getattr(digest._scale, "name", None) != "k2":
+    when the scale is not k2/k2_glued, inputs need Python's per-point
+    error semantics, or the native library is unavailable."""
+    if getattr(digest._scale, "name", None) not in ("k2", "k2_glued"):
         return False
     if len(vals) == 0:
         return True

@@ -119,6 +119,15 @@ def test_non_k2_scale_falls_back_to_python():
     _assert_identical(d, _python_ref(vals, scale="k1"))
 
 
+def test_k2_glued_exact_parity():
+    """The SpeedComparison parity cell's scale: flat max below the split,
+    k2 above — covered natively with the same exact-equality bar."""
+    rng = np.random.default_rng(13)
+    vals = rng.uniform(0, 1, 25_000)
+    _assert_identical(_native(vals, delta=500.0, scale="k2_glued"),
+                      _python_ref(vals, delta=500.0, scale="k2_glued"))
+
+
 def test_invalid_inputs_keep_python_error_semantics():
     d = AVLTreeDigest(delta=100.0, seed=42)
     d.add_values([1.0, 2.0, 3.0])
