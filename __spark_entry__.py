@@ -1681,9 +1681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trailing r3-only entries, two of which were rewritten in r4 — those 8
     # (plus any new queries) lead this round.
     return {
-        # --- (a) rewritten in r4 AFTER their last driver check ---
+        # --- (a) modified AFTER their last driver check ---
         "digest_compare_flags": q_digest_compare_flags,   # r3-green, r4 rewrite
         "ivf_topk_clones": q_ivf_topk_clones,             # r3-green, r4 rewrite
+        "avl_price_quantiles": q_avl_price_quantiles,     # r4-green; r5 native
+                                                          # kernel (bit-identical,
+                                                          # re-check anyway)
         # --- (b) new this round, never driver-checked ---
         "theta_estimation_daily": q_theta_estimation_daily,
         "kll_estimation_events": q_kll_estimation_events,
@@ -1740,7 +1743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_user_sample": q_bottomk_user_sample,
         # sketch queries with bound contracts (estimate + in-job exact)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
-        "avl_price_quantiles": q_avl_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
         "source_table_quantiles": q_source_table_quantiles,
         "minhash_candidates": q_minhash_candidates,
