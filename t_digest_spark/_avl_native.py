@@ -265,15 +265,18 @@ def _batch_add_with(lib, digest, vals: np.ndarray,
     # live RNG buffer shared with the Python path; a None buffer stays
     # untouched until the first draw actually happens (stream position
     # must not move for draw-free batches)
-    if digest._rand_buf is None:
+    was_none = digest._rand_buf is None
+    if was_none:
         digest._rand_buf = np.zeros(256, dtype=np.float64)
         digest._rand_i = 256                 # force refill on first draw
     elif not isinstance(digest._rand_buf, np.ndarray):
         digest._rand_buf = np.asarray(digest._rand_buf, dtype=np.float64)
     rand_buf = digest._rand_buf
+    refilled = [False]
 
     @_REFILL_CB
     def _refill():
+        refilled[0] = True
         rand_buf[:] = digest._rng.random(256)
 
     n0 = len(digest.means)
@@ -314,6 +317,11 @@ def _batch_add_with(lib, digest, vals: np.ndarray,
         if done < remaining:                 # compress trigger fired
             digest.compress()
             n0 = len(digest.means)
+    if was_none and not refilled[0]:
+        # no draw ever happened: restore the canonical pristine state the
+        # Python path would hold (buffer allocated lazily at first draw)
+        digest._rand_buf = None
+        digest._rand_i = 0
     return True
 
 

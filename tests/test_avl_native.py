@@ -146,6 +146,31 @@ def test_empty_batch_is_a_noop():
     assert d.centroid_count() == 0 and d._rand_buf is None
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        delta=st.sampled_from([10.0, 50.0, 100.0]),
+        n=st.integers(1, 3000),
+        weighted=st.booleans(),
+        kind=st.sampled_from(["normal", "ties", "constant", "sorted"]),
+    )
+    def test_property_exact_parity(seed, delta, n, weighted, kind):
+        """Any stream, any shape: native == Python to the last ulp."""
+        rng = np.random.default_rng(seed)
+        vals = {"normal": lambda: rng.normal(0, 1, n),
+                "ties": lambda: rng.integers(-3, 4, n).astype(float),
+                "constant": lambda: np.full(n, 1.25),
+                "sorted": lambda: np.sort(rng.uniform(0, 1, n))}[kind]()
+        wts = rng.integers(1, 5, n).astype(float) if weighted else None
+        _assert_identical(_native(vals, wts, delta=delta, seed=7),
+                          _python_ref(vals, wts, delta=delta, seed=7))
+except ImportError:                      # hypothesis is baked in, but keep
+    pass                                 # the suite importable without it
+
+
 def test_native_throughput_exceeds_1m_pts_per_sec():
     """VERDICT r4 #4 target: >= 1M pts/s on the per-point kernel."""
     import time
