@@ -470,6 +470,20 @@ def main():
             if isinstance(v, (int, float)) and (
                     k not in prior_best or v < prior_best[k]):
                 prior_best[k] = v
+    # Targets mean "best-ever of the CURRENT query definition". When a
+    # query is deliberately rewritten to trade local wall for scale
+    # safety, its pre-rewrite records stop being comparable — without a
+    # floor the bracket fires BY DESIGN on every run, burning a retry
+    # cycle and stamping a regression-shaped entry for a known trade.
+    # Floor = the rewritten form's measured clean-window best (sf0.1).
+    target_floors = {
+        # r5 range-partitioned exact-KS (de-funnel, PLANS.md §15): the
+        # r2-r4 records measured the single-task-window form
+        "digest_compare_flags": 3.9,
+    } if sf == 0.1 else {}
+    for k, floor in target_floors.items():
+        if k in prior_best and prior_best[k] < floor:
+            prior_best[k] = floor
     retry_factor = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FACTOR", "1.5"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
 
