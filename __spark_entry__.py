@@ -1644,7 +1644,10 @@ def q_countmin_estimation_users(spark, sf_dir):
     (estimate <= true + e*N/w with prob 1-(1/e)^d)."""
     from t_digest_spark.sketches.spark import countmin_aggregate, countmin_estimate
     ev = _t(spark, sf_dir, "events").select("user_id")
-    cm = countmin_aggregate(ev, "user_id", d=5, w=8)
+    # materialize the 1-row sketch: it feeds BOTH countmin_estimate's
+    # broadcast and the N column below — without this the full sketch
+    # build (a complete input scan) would execute twice
+    cm = _materialize_small(spark, countmin_aggregate(ev, "user_id", d=5, w=8))
     true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
     # N rides along from the sketch row itself (its `n` field is the total
     # stream weight) — a 1-row broadcast, no second scan
