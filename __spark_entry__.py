@@ -864,13 +864,22 @@ def q_fingerprint_docs(spark, sf_dir):
     clones = docs.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     fp = fingerprint(docs.unionByName(clones))
-    orig = fp.where(F.col("doc_id") < 1_000_000)
-    clone = fp.where(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("doc_id"),
-        F.col("fp_full").alias("c_full"), F.col("content_sha").alias("c_sha"))
-    matched = (orig.join(clone, "doc_id")
+    # one conditional aggregation instead of an orig/clone self-join: the
+    # join's two filter branches diverge BEFORE any exchange, so each side
+    # recomputed the whole fingerprint map (post-AQE scan audit) — here
+    # the map runs once and pairs meet in a 50-group aggregate
+    matched = (fp.where(F.col("doc_id") % 1_000_000 < 50)
+               .groupBy((F.col("doc_id") % 1_000_000).alias("base_id"))
+               .agg(F.max(F.when(F.col("doc_id") < 1_000_000,
+                                 F.col("fp_full"))).alias("fp_full"),
+                    F.max(F.when(F.col("doc_id") >= 1_000_000,
+                                 F.col("fp_full"))).alias("c_full"),
+                    F.max(F.when(F.col("doc_id") < 1_000_000,
+                                 F.col("content_sha"))).alias("o_sha"),
+                    F.max(F.when(F.col("doc_id") >= 1_000_000,
+                                 F.col("content_sha"))).alias("c_sha"))
                .where((F.col("fp_full") == F.col("c_full"))
-                      & (F.col("content_sha") == F.col("c_sha"))))
+                      & (F.col("o_sha") == F.col("c_sha"))))
     n_texts = docs.select("text").distinct().count()
     distinct_fp = fp.select("fp_full").distinct().count()
     return matched.agg(
@@ -1077,7 +1086,10 @@ def q_hll_distinct_users(spark, sf_dir):
     from t_digest_spark.sketches.spark import (hll_aggregate, hll_estimate_col,
                                                hll_merge)
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    per_type = hll_aggregate(ev, "user_id", ["event_type"], lgk=12)
+    # 5 sketch rows feeding TWO consumers (per-type estimates + the merged
+    # total): materialize once or the full HLL build scans events twice
+    per_type = _materialize_small(
+        spark, hll_aggregate(ev, "user_id", ["event_type"], lgk=12))
     merged = hll_merge(per_type, None).select(
         F.lit("ALL").alias("event_type"), hll_estimate_col())
     est = per_type.select("event_type", hll_estimate_col()).unionByName(merged)
@@ -1475,9 +1487,11 @@ def q_theta_user_overlap(spark, sf_dir):
                                                theta_binary_op,
                                                theta_bounds_udf)
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = theta_aggregate(
+    # 2 sketch rows feeding two filter branches: materialize once or the
+    # theta build scans events once per branch
+    sk = _materialize_small(spark, theta_aggregate(
         ev.where(F.col("event_type").isin("click", "purchase")),
-        "user_id", ["event_type"], k=4096)
+        "user_id", ["event_type"], k=4096))
     a = sk.where("event_type = 'click'").drop("event_type")
     b = sk.where("event_type = 'purchase'").drop("event_type")
     bounds = theta_bounds_udf(5.0)
@@ -1690,6 +1704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avl_price_quantiles": q_avl_price_quantiles,     # r4-green; r5 native
                                                           # kernel (bit-identical,
                                                           # re-check anyway)
+        # r4-green; r5 scan-audit fixes (pairs-in-bucket LSH / sketch-row
+        # materialize / fingerprint conditional-agg) — same results,
+        # re-check under the new plans
+        "minhash_candidates": q_minhash_candidates,
+        "hll_distinct_users": q_hll_distinct_users,
+        "theta_user_overlap": q_theta_user_overlap,
+        "lsh_topk_recall": q_lsh_topk_recall,
+        "embedding_near_dups": q_embedding_near_dups,
         # --- (b) new this round, never driver-checked ---
         "theta_estimation_daily": q_theta_estimation_daily,
         "kll_estimation_events": q_kll_estimation_events,
@@ -1706,7 +1728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_users": q_streaming_distinct_users,
         "digest_rollup_salted": q_digest_rollup_salted,
         "countmin_hot_users": q_countmin_hot_users,
-        "hll_distinct_users": q_hll_distinct_users,
         "multimodal_features": q_multimodal_features,
         "req_tail_quantiles": q_req_tail_quantiles,
         "streaming_digest_events": q_streaming_digest_events,
@@ -1741,17 +1762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_doc_sample": q_stratified_doc_sample,
         "decontaminate_docs": q_decontaminate_docs,
         "events_value_ranks": q_events_value_ranks,
-        "theta_user_overlap": q_theta_user_overlap,
         "frequent_tokens": q_frequent_tokens,
         "bottomk_user_sample": q_bottomk_user_sample,
         # sketch queries with bound contracts (estimate + in-job exact)
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "tdigest_events_global": q_tdigest_events_global,
         "source_table_quantiles": q_source_table_quantiles,
-        "minhash_candidates": q_minhash_candidates,
         "simhash_near_dups": q_simhash_near_dups,
-        "lsh_topk_recall": q_lsh_topk_recall,
-        "embedding_near_dups": q_embedding_near_dups,
         "checkpoint_resume": q_checkpoint_resume,
     }
 

@@ -165,13 +165,26 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                         lambda bi: F.xxhash64(F.slice(
                             "sig", bi * rows_per_band + 1, rows_per_band)))
         ).alias("band", "bucket"))
-    l = banded.alias("l")
-    r = banded.alias("r")
-    return (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.bucket") == F.col("r.bucket"))
-                   & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("id_a"),
-                    F.col("r.doc_id").alias("id_b"))
+    # Pairs WITHIN each (band, bucket) group via one groupBy, not a
+    # self-join: the join form executes the whole signature pipeline (the
+    # expensive MinHash map over every shingle) once PER SIDE — measured
+    # as a doubled document scan in the post-AQE plan (runtime exchange
+    # reuse does not kick in across the differently-aliased sides). One
+    # aggregation pass instead; a doc appears at most once per band, so
+    # the sorted member list yields each unordered pair exactly once with
+    # id_a < id_b by construction. Member lists are bucket-occupancy-sized
+    # (the band-geometry guidance above is what keeps THAT bounded — the
+    # self-join had the same quadratic pathology on a hot bucket, as
+    # emitted pairs rather than a list).
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    return (buckets
+            .select(F.posexplode("ids").alias("__i__", "id_a"), "ids")
+            .select("id_a",
+                    F.explode(F.slice(
+                        F.col("ids"), F.col("__i__") + 2,
+                        F.size("ids") - F.col("__i__") - 1)).alias("id_b"))
             .distinct())
 
 

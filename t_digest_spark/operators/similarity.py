@@ -170,6 +170,35 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
             .drop("__tb__"))
 
 
+def _bucket_pairs(b: DataFrame, id_col: str, directed: bool) -> DataFrame:
+    """Candidate id-pairs within each (table, bucket) group via ONE
+    aggregation over the bucketed frame instead of a self-join: the join
+    form executes the whole upstream (scan + norm + bucket algebra) once
+    PER SIDE — measured as doubled input scans in the post-AQE plan
+    (runtime exchange reuse does not fire across the aliased sides).
+    A vector appears at most once per (table, bucket), so the member list
+    yields exactly the join's pair set: both orders when ``directed``
+    (query/corpus roles), ascending unordered pairs otherwise. Lists are
+    target-occupancy-sized by the auto-plane sizing; a hot bucket degrades
+    to the same quadratic pair volume the join form already had."""
+    buckets = (b.groupBy("lsh_table", "lsh_bucket")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .where(F.size("ids") > 1))
+    if directed:
+        return (buckets
+                .select(F.explode("ids").alias("query_id"), "ids")
+                .select("query_id", F.explode("ids").alias("corpus_id"))
+                .where(F.col("query_id") != F.col("corpus_id"))
+                .dropDuplicates(["query_id", "corpus_id"]))
+    return (buckets
+            .select(F.posexplode("ids").alias("__i__", "id_a"), "ids")
+            .select("id_a",
+                    F.explode(F.slice(
+                        F.col("ids"), F.col("__i__") + 2,
+                        F.size("ids") - F.col("__i__") - 1)).alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def _resolve_planes(df: DataFrame, n_planes: Optional[int],
                     target_occupancy: int) -> int:
     if n_planes is not None:
@@ -195,16 +224,9 @@ def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
         F.col(id_col), "lsh_table", "lsh_bucket")
-    l = b.alias("l")
-    r = b.alias("r")
-    # candidate id-pairs stay NARROW through the join + dedupe shuffles;
+    # candidate id-pairs stay NARROW through the pair + dedupe shuffles;
     # vectors rejoin afterwards (corpus-row scale, not pair scale)
-    cand = (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
-                   & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
-                   & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("query_id"),
-                    F.col(f"r.{id_col}").alias("corpus_id"))
-            .dropDuplicates(["query_id", "corpus_id"]))
+    cand = _bucket_pairs(b, id_col, directed=True)
     if observation is not None:
         cand = cand.observe(observation,
                             F.count(F.lit(1)).alias("n_candidate_pairs"))
@@ -235,16 +257,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
         F.col(id_col), "lsh_table", "lsh_bucket")
-    l = b.alias("l")
-    r = b.alias("r")
     # narrow id-pair dedupe first (a pair colliding in several tables would
     # otherwise be scored n_tables times), vectors rejoin at pair scale
-    cand = (l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
-                   & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _bucket_pairs(b, id_col, directed=False)
     if observation is not None:
         cand = cand.observe(observation,
                             F.count(F.lit(1)).alias("n_candidate_pairs"))
