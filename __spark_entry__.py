@@ -1080,27 +1080,25 @@ def q_countmin_hot_users(spark, sf_dir):
 
 def q_hll_distinct_users(spark, sf_dir):
     """Native DataSketches HLL distinct-count per event type + merged total
-    (built-in hll_sketch_agg/hll_union_agg — the idiomatic Spark answer),
-    checked against exact countDistinct at 3x the lgk=12 standard error
-    (1.04/sqrt(4096) ~ 1.6%)."""
-    from t_digest_spark.sketches.spark import (hll_aggregate, hll_estimate_col,
-                                               hll_merge)
+    (built-in hll_sketch_agg — the idiomatic Spark answer), checked against
+    exact countDistinct at 3x the lgk=12 standard error
+    (1.04/sqrt(4096) ~ 1.6%).
+
+    ONE rollup aggregation computes the sketch AND the exact count at both
+    levels in a single pass — no union of two aggregates, no join, no
+    second scan. The rollup's ALL row builds its sketch from the raw rows,
+    which is register-identical to hll_union_agg over the per-type
+    sketches (each register is a max; max over the whole set == max of
+    subset maxima), so the merged-total contract is the same one the
+    union-based form checked."""
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    # 5 sketch rows feeding TWO consumers (per-type estimates + the merged
-    # total): materialize once or the full HLL build scans events twice
-    per_type = _materialize_small(
-        spark, hll_aggregate(ev, "user_id", ["event_type"], lgk=12))
-    merged = hll_merge(per_type, None).select(
-        F.lit("ALL").alias("event_type"), hll_estimate_col())
-    est = per_type.select("event_type", hll_estimate_col()).unionByName(merged)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")).unionByName(
-        ev.agg(F.countDistinct("user_id").alias("exact_users"))
-        .select(F.lit("ALL").alias("event_type"), "exact_users"))
     tol = 3 * 1.04 / (2 ** 6)  # 3 sigma at lgk=12
-    return (est.join(exact, "event_type")
-            .select("event_type", F.col("exact_users").cast("long").alias("exact_users"),
-                    (F.abs(F.col("distinct_estimate") - F.col("exact_users"))
+    return (ev.rollup("event_type")
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.col("exact_users").cast("long").alias("exact_users"),
+                    (F.abs(F.hll_sketch_estimate("hll") - F.col("exact_users"))
                      <= F.greatest(tol * F.col("exact_users"), F.lit(2.0)))
                     .alias("hll_ok")))
 
