@@ -1501,16 +1501,20 @@ def q_theta_user_overlap(spark, sf_dir):
              .select("op", F.col("__b__.lb").alias("lb"),
                      F.col("__b__.ub").alias("ub")))
         est = r if est is None else est.unionByName(r)
-    clicks = ev.where("event_type = 'click'").select("user_id").distinct()
-    purch = ev.where("event_type = 'purchase'").select("user_id").distinct()
-    exact = (clicks.union(purch).distinct().agg(F.count("*").alias("exact_count"))
-             .select(F.lit("union").alias("op"), "exact_count")
-             .unionByName(clicks.intersect(purch)
-                          .agg(F.count("*").alias("exact_count"))
-                          .select(F.lit("intersect").alias("op"), "exact_count"))
-             .unionByName(clicks.subtract(purch)
-                          .agg(F.count("*").alias("exact_count"))
-                          .select(F.lit("a_not_b").alias("op"), "exact_count")))
+    # exact counterpart in ONE pass: per-user click/purchase flags, then
+    # all three set cardinalities from one aggregate — the previous
+    # union/intersect/subtract triple re-executed the two distinct frames
+    # per operator (post-AQE scan audit)
+    flags = (ev.where(F.col("event_type").isin("click", "purchase"))
+             .groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+                  F.max((F.col("event_type") == "purchase").cast("int")).alias("p")))
+    exact = (flags.agg(
+        F.sum(((F.col("c") == 1) | (F.col("p") == 1)).cast("long")).alias("u"),
+        F.sum(((F.col("c") == 1) & (F.col("p") == 1)).cast("long")).alias("i"),
+        F.sum(((F.col("c") == 1) & (F.col("p") == 0)).cast("long")).alias("anb"))
+        .select(F.expr("stack(3, 'union', u, 'intersect', i, 'a_not_b', anb)")
+                .alias("op", "exact_count")))
     return (est.join(exact, "op")
             .select("op", F.col("exact_count").cast("long").alias("exact_count"),
                     ((F.col("lb") <= F.col("exact_count"))
