@@ -1091,12 +1091,18 @@ def q_hll_distinct_users(spark, sf_dir):
     sketches (each register is a max; max over the whole set == max of
     subset maxima), so the merged-total contract is the same one the
     union-based form checked."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL types are dropped (the old join-based form did the same), and
+    # the grand-total row is identified by grouping(), not by coalescing
+    # NULL — a genuine NULL group would otherwise masquerade as "ALL"
+    ev = (_t(spark, sf_dir, "events").select("event_type", "user_id")
+          .where(F.col("event_type").isNotNull()))
     tol = 3 * 1.04 / (2 ** 6)  # 3 sigma at lgk=12
     return (ev.rollup("event_type")
             .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("hll"),
-                 F.countDistinct("user_id").alias("exact_users"))
-            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                 F.countDistinct("user_id").alias("exact_users"),
+                 F.grouping("event_type").alias("__total__"))
+            .select(F.when(F.col("__total__") == 1, F.lit("ALL"))
+                    .otherwise(F.col("event_type")).alias("event_type"),
                     F.col("exact_users").cast("long").alias("exact_users"),
                     (F.abs(F.hll_sketch_estimate("hll") - F.col("exact_users"))
                      <= F.greatest(tol * F.col("exact_users"), F.lit(2.0)))

@@ -98,6 +98,12 @@ def ladder(rng) -> dict:
     d2.add_values(data)                  # native C loop when available
     rows["avl_lg16_native_ns"] = round(
         (time.perf_counter() - t0) / n * 1e9, 1)
+    # record which kernel the *_native_* rows actually measured: on a
+    # compiler-less host add_values silently falls back to the Python
+    # loop and an unlabeled "native" timing would poison cross-host
+    # comparisons
+    from t_digest_spark import _avl_native
+    rows["avl_native_available"] = _avl_native._get_lib() is not None
     return rows
 
 

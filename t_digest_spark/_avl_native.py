@@ -180,10 +180,24 @@ _REFILL_CB = ctypes.CFUNCTYPE(None)
 _lib = None          # resolved CDLL, False = permanently unavailable
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache directory: loading a .so from a predictable
+    world-writable path (/tmp/tdigest_avl_<hash>.so) would let any local
+    user pre-plant a library that dlopen runs constructors from. The dir
+    is created 0700 and verified owned-by-us and non-world-writable on
+    every use (a pre-existing attacker-owned dir is rejected)."""
+    d = os.path.join(tempfile.gettempdir(), f"tdigest-native-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise PermissionError(f"unsafe native cache dir {d}")
+    return d
+
+
 def _build() -> "ctypes.CDLL | None":
-    """Compile (once per source hash, cached in the temp dir) and load."""
+    """Compile (once per source hash, cached per-user) and load."""
     tag = hashlib.md5(_C_SOURCE.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"tdigest_avl_{tag}.so")
+    so_path = os.path.join(_cache_dir(), f"tdigest_avl_{tag}.so")
     if not os.path.exists(so_path):
         cc = os.environ.get("CC", "cc")
         fd, c_path = tempfile.mkstemp(suffix=".c")
@@ -314,7 +328,10 @@ def _batch_add_with(lib, digest, vals: np.ndarray,
         digest.max = max_io.value
         digest._rand_i = rand_i_io.value
         consumed += done
-        if done < remaining:                 # compress trigger fired
+        # the trigger can fire on the LAST point of a batch, in which case
+        # done == remaining — detect it from the state, not the count, or
+        # the compress the Python loop runs inside add() would be skipped
+        if n0 > 20.0 * digest.delta:
             digest.compress()
             n0 = len(digest.means)
     if was_none and not refilled[0]:

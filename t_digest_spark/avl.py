@@ -176,7 +176,14 @@ class AVLTreeDigest:
         maxf = getattr(scale, "max_scalar", None)
         closest = -1
         n_cand = 0.0
-        head = float(sum(counts[:start]))
+        # explicit naive left-to-right accumulation, NOT builtins.sum():
+        # CPython >= 3.12 compensates float sum() (Neumaier, gh-100425),
+        # which can round differently from the native kernel's plain
+        # `head += c` on fractional weights and desynchronize the two
+        # paths' reservoir decisions. This loop is the pinned definition.
+        head = 0.0
+        for c in counts[:start]:
+            head += c
         for j in range(start, last):
             cj = counts[j]
             q0 = head / total

@@ -169,23 +169,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # self-join: the join form executes the whole signature pipeline (the
     # expensive MinHash map over every shingle) once PER SIDE — measured
     # as a doubled document scan in the post-AQE plan (runtime exchange
-    # reuse does not kick in across the differently-aliased sides). One
-    # aggregation pass instead; a doc appears at most once per band, so
-    # the sorted member list yields each unordered pair exactly once with
-    # id_a < id_b by construction. Member lists are bucket-occupancy-sized
-    # (the band-geometry guidance above is what keeps THAT bounded — the
-    # self-join had the same quadratic pathology on a hot bucket, as
-    # emitted pairs rather than a list).
-    buckets = (banded.groupBy("band", "bucket")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .where(F.size("ids") > 1))
-    return (buckets
-            .select(F.posexplode("ids").alias("__i__", "id_a"), "ids")
-            .select("id_a",
-                    F.explode(F.slice(
-                        F.col("ids"), F.col("__i__") + 2,
-                        F.size("ids") - F.col("__i__") - 1)).alias("id_b"))
-            .distinct())
+    # reuse does not kick in across the differently-aliased sides).
+    # Expansion semantics, dedupe, and the memory-shape argument live in
+    # the shared helper (similarity._bucket_pairs).
+    from t_digest_spark.operators.similarity import _bucket_pairs
+    return _bucket_pairs(banded, "doc_id", directed=False,
+                         group_cols=("band", "bucket"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -21,7 +21,7 @@ pair count through a ``pyspark.sql.Observation`` (no silent caps).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -170,18 +170,28 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
             .drop("__tb__"))
 
 
-def _bucket_pairs(b: DataFrame, id_col: str, directed: bool) -> DataFrame:
-    """Candidate id-pairs within each (table, bucket) group via ONE
-    aggregation over the bucketed frame instead of a self-join: the join
-    form executes the whole upstream (scan + norm + bucket algebra) once
-    PER SIDE — measured as doubled input scans in the post-AQE plan
-    (runtime exchange reuse does not fire across the aliased sides).
-    A vector appears at most once per (table, bucket), so the member list
-    yields exactly the join's pair set: both orders when ``directed``
-    (query/corpus roles), ascending unordered pairs otherwise. Lists are
-    target-occupancy-sized by the auto-plane sizing; a hot bucket degrades
-    to the same quadratic pair volume the join form already had."""
-    buckets = (b.groupBy("lsh_table", "lsh_bucket")
+def _bucket_pairs(b: DataFrame, id_col: str, directed: bool,
+                  group_cols: Sequence[str] = ("lsh_table", "lsh_bucket"),
+                  ) -> DataFrame:
+    """Candidate id-pairs within each bucket group via ONE aggregation
+    over the bucketed frame instead of a self-join: the join form executes
+    the whole upstream (scan + signature/norm + bucket algebra) once PER
+    SIDE — measured as doubled input scans in the post-AQE plan (runtime
+    exchange reuse does not fire across the aliased sides). An id appears
+    at most once per bucket group from a well-formed input, so the member
+    list yields exactly the join's pair set: both orders when ``directed``
+    (query/corpus roles), ascending unordered pairs otherwise; a duplicate
+    input id cannot produce an (x, x) pair either way (the old strict-</!=
+    join conditions are kept as explicit filters). Shared by the MinHash
+    (band, bucket) and sign-LSH (table, bucket) paths.
+
+    Memory shape: the per-bucket member list is one aggregation-buffer
+    value. That is NOT the binding constraint — a bucket big enough to
+    stress the list (~10^8 members for a GB-sized array) implies a size²
+    pair OUTPUT (~10^16) that kills either formulation long before; the
+    auto-plane sizing / band-geometry guidance is what keeps buckets
+    bounded, exactly as it had to for the join form."""
+    buckets = (b.groupBy(*group_cols)
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .where(F.size("ids") > 1))
     if directed:
@@ -196,6 +206,7 @@ def _bucket_pairs(b: DataFrame, id_col: str, directed: bool) -> DataFrame:
                     F.explode(F.slice(
                         F.col("ids"), F.col("__i__") + 2,
                         F.size("ids") - F.col("__i__") - 1)).alias("id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
 
 
