@@ -739,3 +739,44 @@ def test_sample_key_encoding_injective(spark):
         "k string")
     encoded = [r.e for r in df.select(_key_expr("k", None).alias("e")).collect()]
     assert len(set(encoded)) == 5
+
+
+def test_bucket_pairs_equals_self_join(spark):
+    """_bucket_pairs (one aggregation) must emit EXACTLY the pair set of
+    the self-join it replaced, directed and undirected, including under
+    duplicate ids and hot buckets."""
+    import random
+    from pyspark.sql import functions as F
+    from t_digest_spark.operators.similarity import _bucket_pairs
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(400):
+        rows.append((rng.randrange(60),            # ids collide across rows
+                     rng.randrange(4),             # lsh_table
+                     rng.randrange(8)))            # lsh_bucket (hot buckets)
+    b = spark.createDataFrame(rows, "vec_id long, lsh_table int, lsh_bucket int")
+
+    l, r = b.alias("l"), b.alias("r")
+    join_directed = {(x.query_id, x.corpus_id) for x in
+                     l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
+                            & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                            & (F.col("l.vec_id") != F.col("r.vec_id")))
+                     .select(F.col("l.vec_id").alias("query_id"),
+                             F.col("r.vec_id").alias("corpus_id"))
+                     .distinct().collect()}
+    agg_directed = {(x.query_id, x.corpus_id) for x in
+                    _bucket_pairs(b, "vec_id", directed=True).collect()}
+    assert agg_directed == join_directed
+
+    join_undirected = {(x.id_a, x.id_b) for x in
+                       l.join(r, (F.col("l.lsh_table") == F.col("r.lsh_table"))
+                              & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                              & (F.col("l.vec_id") < F.col("r.vec_id")))
+                       .select(F.col("l.vec_id").alias("id_a"),
+                               F.col("r.vec_id").alias("id_b"))
+                       .distinct().collect()}
+    agg_undirected = {(x.id_a, x.id_b) for x in
+                      _bucket_pairs(b, "vec_id", directed=False).collect()}
+    assert agg_undirected == join_undirected
+    assert all(a != bb for a, bb in agg_undirected)   # no self-pairs ever
