@@ -1091,8 +1091,9 @@ def q_hll_distinct_users(spark, sf_dir):
     sketches (each register is a max; max over the whole set == max of
     subset maxima), so the merged-total contract is the same one the
     union-based form checked."""
-    # NULL types are dropped (the old join-based form did the same), and
-    # the grand-total row is identified by grouping(), not by coalescing
+    # NULL types are dropped from BOTH levels (the oracle filters the
+    # same way, so the ALL row's scope matches by construction), and the
+    # grand-total row is identified by grouping(), not by coalescing
     # NULL — a genuine NULL group would otherwise masquerade as "ALL"
     ev = (_t(spark, sf_dir, "events").select("event_type", "user_id")
           .where(F.col("event_type").isNotNull()))
@@ -2265,10 +2266,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    cast(count(DISTINCT user_id) as bigint) AS exact_users,
                    true AS hll_ok
-            FROM events GROUP BY event_type
+            FROM events WHERE event_type IS NOT NULL GROUP BY event_type
             UNION ALL
             SELECT 'ALL', cast(count(DISTINCT user_id) as bigint), true
-            FROM events
+            FROM events WHERE event_type IS NOT NULL
         """,
         "checkpoint_resume": """
             SELECT l_returnflag, count(*) AS n_rows,

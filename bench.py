@@ -328,6 +328,47 @@ def run_flagship(spark, sf_dir: str) -> dict:
             "n_groups": len(r1)}
 
 
+def _compact_summary_line(timings, total, sf, kernel_pts_per_sec,
+                          scaling_compact, budget=1900):
+    """One JSON line for the driver's ~2000-char stdout tail, PROVABLY
+    within `budget`. Degradation ladder, each rung strictly smaller:
+    (1) full summary with per-query floats at 3/2/1 decimals;
+    (2) drop the non-query extras, round timings to whole seconds;
+    (3) drop the FASTEST queries one at a time (least informative) with an
+        explicit queries_omitted_fastest count — a partial map with a
+        marker beats a full map truncated mid-line to parsed:null."""
+    for nd in (3, 2, 1):
+        cand = json.dumps({
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_failed": sum(1 for v in timings.values() if v is None),
+            "kernel_pts_per_sec_single_core": kernel_pts_per_sec,
+            "scaling_efficiency": scaling_compact,
+            "queries": {k: (round(v, nd) if isinstance(v, float) else v)
+                        for k, v in timings.items()},
+        }, separators=(",", ":"))
+        if len(cand) <= budget:
+            return cand
+    kept = {k: (int(round(v)) if isinstance(v, float) else v)
+            for k, v in timings.items()}
+    drop_order = sorted(
+        (k for k, v in timings.items() if v is not None),
+        key=lambda k: timings[k])
+    omitted = 0
+    while True:
+        rec = {"metric": "total_query_wall_sec", "value": total,
+               "sf": sf, "queries": kept}
+        if omitted:
+            rec["queries_omitted_fastest"] = omitted
+        line = json.dumps(rec, separators=(",", ":"))
+        if len(line) <= budget or not drop_order:
+            return line
+        kept.pop(drop_order.pop(0), None)
+        omitted += 1
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -751,29 +792,8 @@ def main():
     # precision degraded adaptively if the query set ever outgrows the
     # window. A preceding whitespace pad pushes fragments of the full record
     # out of the tail so the compact line is the only JSON there.
-    budget = 1900
-    compact_line = None
-    for nd in (3, 2, 1):
-        cand = json.dumps({
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_failed": sum(1 for v in timings.values() if v is None),
-            "kernel_pts_per_sec_single_core": kernel_pts_per_sec,
-            "scaling_efficiency": scaling_compact,
-            "queries": {k: (round(v, nd) if isinstance(v, float) else v)
-                        for k, v in timings.items()},
-        }, separators=(",", ":"))
-        if len(cand) <= budget:
-            compact_line = cand
-            break
-    if compact_line is None:     # last resort: drop the non-query extras
-        compact_line = json.dumps(
-            {"metric": "total_query_wall_sec", "value": total, "sf": sf,
-             "queries": {k: (round(v, 1) if isinstance(v, float) else v)
-                         for k, v in timings.items()}},
-            separators=(",", ":"))
+    compact_line = _compact_summary_line(
+        timings, total, sf, kernel_pts_per_sec, scaling_compact)
     sys.stdout.flush()
     print(" " * 2048)
     print(compact_line)

@@ -55,21 +55,11 @@ def _run_bench(env_extra: dict) -> dict:
     if out.returncode != 0:
         raise RuntimeError(f"bench failed rc={out.returncode}: "
                            f"{out.stderr[-500:]}")
-    # Prefer the FULL record over the trailing compact summary line the
-    # round-5 bench emits for the driver's tail capture (superset of keys).
-    best = None
-    for line in out.stdout.strip().splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if isinstance(rec, dict) and (best is None or len(rec) > len(best)):
-                best = rec
-    if best is None:
-        raise ValueError("no parseable JSON line in bench stdout")
-    return best
+    # Shared parser (prefers the FULL record over the trailing compact
+    # summary line) — one implementation, one place to track the bench
+    # output contract.
+    from scripts.engine_ab_bench import _parse_bench_stdout
+    return _parse_bench_stdout(out.stdout)
 
 
 def main():

@@ -260,7 +260,13 @@ class AVLTreeDigest:
             for v in vals:
                 add(v)
         else:
-            for v, w in zip(vals, warr.tolist()):
+            wts = warr.tolist()
+            if len(wts) != len(vals):
+                # zip() would silently truncate to the shorter sequence;
+                # the pre-batch loop raised here and so must we.
+                raise ValueError(
+                    f"weights length {len(wts)} != values length {len(vals)}")
+            for v, w in zip(vals, wts):
                 self.add(v, w)
 
     def compress(self) -> None:

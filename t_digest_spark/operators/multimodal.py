@@ -245,7 +245,12 @@ def extract_features(media_df: DataFrame, dim: int = 16,
                     try:
                         vec = _real_features(bytes(payload), kind, dim)
                         decoders.append("real")
-                    except NotImplementedError:
+                    except Exception:
+                        # Any decode failure — missing codec
+                        # (NotImplementedError), corrupt/truncated payload
+                        # (wave.Error, PIL.UnidentifiedImageError,
+                        # ValueError, struct.error, ...) — falls back per
+                        # row; a bad byte string must not kill the job.
                         vec = _fake_features(payload, dim)
                         decoders.append("fake")
                 feats.append(vec)

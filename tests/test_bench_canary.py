@@ -151,3 +151,47 @@ def test_host_ratio_branches_on_kernel_commit():
         {"kernel_pts_per_sec_single_core": 10.0, "kernel_commit": "k0"},
         kernel_r2proto=None, kernel_now=20.0, kernel_commit_now="k1")
     assert instr == "single_core_mismatched_kernels"
+
+
+def test_compact_line_fits_budget_at_62_queries_full_precision():
+    timings = {f"query_name_number_{i:02d}": 12.345678 for i in range(62)}
+    line = bench._compact_summary_line(
+        timings, total=765.4, sf=0.1, kernel_pts_per_sec=6.2e6,
+        scaling_compact={"eff_8_32": 0.84})
+    assert len(line) <= 1900
+    import json
+    rec = json.loads(line)
+    assert len(rec["queries"]) == 62
+    # some rounding of the true value survives, whatever rung was needed
+    assert abs(rec["queries"]["query_name_number_00"] - 12.345678) <= 0.5
+
+
+def test_compact_line_degraded_host_4digit_timings_still_fits():
+    # the r4/r3 failure shape: 62 queries, 4-digit wall times; nd=3..1 all
+    # exceed the budget so the ladder must drop extras, then (if needed)
+    # the fastest queries — never emit an over-budget line
+    timings = {f"query_name_number_{i:02d}": 1234.5678 for i in range(62)}
+    line = bench._compact_summary_line(
+        timings, total=76543.2, sf=0.1, kernel_pts_per_sec=1.1e6,
+        scaling_compact={"eff_8_32": 0.61})
+    assert len(line) <= 1900
+    import json
+    rec = json.loads(line)
+    # whole-second rounding keeps every query in this case
+    assert len(rec["queries"]) + rec.get("queries_omitted_fastest", 0) == 62
+
+
+def test_compact_line_drops_fastest_with_marker_when_forced():
+    # adversarial: absurdly long names force the query-dropping rung
+    timings = {("q" * 120) + f"{i:03d}": float(i) for i in range(40)}
+    line = bench._compact_summary_line(
+        timings, total=780.0, sf=0.1, kernel_pts_per_sec=None,
+        scaling_compact=None)
+    assert len(line) <= 1900
+    import json
+    rec = json.loads(line)
+    omitted = rec["queries_omitted_fastest"]
+    assert omitted > 0 and len(rec["queries"]) + omitted == 40
+    # the SLOWEST queries (most informative) survive
+    kept_vals = sorted(rec["queries"].values())
+    assert kept_vals[0] == float(omitted)

@@ -298,6 +298,37 @@ def test_extract_features_auto_mode_records_decoder(spark):
     assert len(got[1].feature) == 8 and len(got[2].feature) == 8
 
 
+def test_extract_features_auto_mode_survives_corrupt_payloads(spark):
+    """mode='auto' must not kill the job on payloads whose decoder raises
+    something OTHER than NotImplementedError: an MP3/OGG byte string hits
+    the stdlib WAV parser (wave.Error: no RIFF id), a truncated BMP raises
+    from np.frombuffer — both fall back per row, recorded as 'fake'."""
+    import pandas as _pd
+    rows = _pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "kind": ["audio", "image", "image"],
+        # ID3-tagged MP3 prefix; BMP magic then garbage; truncated PPM
+        "payload": [b"ID3\x04\x00" + b"\xff" * 64,
+                    b"BM" + b"\x00" * 10, b"P6\n5 3\n255\n\x01"],
+        "width": [0, 8, 5], "height": [0, 8, 3],
+        "sample_rate": [8000, 0, 0], "n_frames": [1, 1, 1]})
+    media = spark.createDataFrame(rows)
+    got = {r.media_id: r for r in
+           extract_features(media, dim=8, mode="auto").collect()}
+    assert [got[i].decoder for i in (1, 2, 3)] == ["fake"] * 3
+    assert all(len(got[i].feature) == 8 for i in (1, 2, 3))
+
+
+def test_avl_add_values_rejects_mismatched_weights():
+    """zip() truncation guard: misaligned values/weights must raise, not
+    silently drop the tail (pre-batch code raised IndexError here)."""
+    from t_digest_spark.avl import AVLTreeDigest
+    d = AVLTreeDigest(100.0)
+    with pytest.raises(ValueError, match="weights length"):
+        d.add_values([1.0, 2.0, 3.0], weights=[1.0, 1.0])
+    assert d.total == 0.0  # nothing partially added
+
+
 def test_pil_branch_by_mock(monkeypatch):
     """When PIL is installed, image decode routes through it (covered by
     injecting a stub PIL module)."""
