@@ -261,11 +261,22 @@ def q_time_rollup_digests(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("value")
     n = F.count(F.lit(1))
-    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n)
-    return (ev.join(F.broadcast(est), "day")
+    # tie term: a plateau of mass m sits in a weight-m cluster whose
+    # interpolated quantile can miss the exact cdf step by ~m/2n when the
+    # estimate lands BETWEEN plateaus (see q_events_value_ranks' note) —
+    # continuous data has maxtie=1 so the term stays under the 1.5/n
+    # floor. Computed as a map-side-combinable sub-aggregate (one row per
+    # day, broadcast back), NOT a window over the raw rows.
+    ties = (ev.where(F.col("value").isNotNull())   # NULLs are not a plateau
+            .groupBy("day", "value").agg(F.count(F.lit(1)).alias("__m__"))
+            .groupBy("day").agg(F.max("__m__").alias("__maxtie__")))
+    est2 = _join_est_nullsafe(est, ties, "day")
+    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n,
+                       F.first("__maxtie__") / n)
+    return (_join_est_nullsafe(ev, est2, "day")
             .groupBy("day")
             .agg(F.first("n_events").alias("n_events"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok")))
 
 
 def q_range_join_price_bands(spark, sf_dir):
@@ -499,6 +510,44 @@ def _midrank(x: F.Column, est_col: str, n: F.Column) -> F.Column:
             / (F.lit(2.0) * n))
 
 
+def _rank_ok(x: F.Column, est_col: str, q: float, n: F.Column,
+             bound) -> F.Column:
+    """Tie-aware quantile contract: the target rank q must lie within the
+    estimate's exact cdf SPAN [strictly-below/n, lte/n] widened by bound.
+    With continuous values the span collapses to the mid-rank +- 1/(2n) and
+    this is exactly the |mid-rank - q| <= bound check it replaces (strictly
+    implied by it, so clean-data results are unchanged). With heavy ties —
+    which the adversarial-data sweep injects and any 100 TB discrete column
+    has — the correct estimate VALUE spans a wide cdf plateau and its
+    mid-rank sits at the plateau midpoint, failing the old check even when
+    the digest's answer is exactly right; the span form states the real
+    t-digest guarantee (rank error bounds on the cdf, Dist.cdf tie
+    convention)."""
+    below = F.sum((x < F.col(est_col)).cast("long")).cast("double") / n
+    lte = F.sum((x <= F.col(est_col)).cast("long")).cast("double") / n
+    return (below - bound <= F.lit(float(q))) & (F.lit(float(q)) <= lte + bound)
+
+
+def _join_est_nullsafe(raw: DataFrame, est: DataFrame, keys) -> DataFrame:
+    """Broadcast-join a per-group estimate frame back onto raw rows with
+    NULL-SAFE key equality. SQL GROUP BY (the oracle) and the sketch
+    operators (_factorize_groups) both keep a NULL group; a bare equi-join
+    here silently dropped it from the contract check — the one gate-query
+    divergence the adversarial-data sweep (scripts/
+    check_oracle_adversarial.py) found in the join-back family. Same plan
+    on clean data: still a broadcast hash join on the same keys."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    renamed = est
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__est_{k}__")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__est_{k}__"))
+        cond = c if cond is None else (cond & c)
+    return (raw.join(F.broadcast(renamed), cond)
+            .drop(*[f"__est_{k}__" for k in keys]))
+
+
 def q_tdigest_price_quantiles(spark, sf_dir):
     """Flagship digest estimates per returnflag at delta=100, each checked
     in-Spark against its exact mid-rank / exact trimmed mean. Bounds are the
@@ -588,8 +637,8 @@ def q_avl_price_quantiles(spark, sf_dir):
     return (li.join(F.broadcast(est), "l_returnflag")
             .groupBy("l_returnflag")
             .agg(n.cast("long").alias("n_rows"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.02).alias("p50_ok"),
-                 (F.abs(_midrank(x, "e99", n) - 0.99) <= 0.01).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5, n, 0.02).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99, n, 0.01).alias("p99_ok")))
 
 
 def q_tdigest_events_global(spark, sf_dir):
@@ -604,9 +653,9 @@ def q_tdigest_events_global(spark, sf_dir):
     n = F.count(F.lit(1))
     return (ev.crossJoin(F.broadcast(est))
             .agg(n.cast("long").alias("n"),
-                 (F.abs(_midrank(x, "e001", n) - 0.001) <= 0.002).alias("p001_ok"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok"),
-                 (F.abs(_midrank(x, "e999", n) - 0.999) <= 0.002).alias("p999_ok")))
+                 _rank_ok(x, "e001", 0.001, n, 0.002).alias("p001_ok"),
+                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok"),
+                 _rank_ok(x, "e999", 0.999, n, 0.002).alias("p999_ok")))
 
 
 def q_source_table_quantiles(spark, sf_dir):
@@ -634,8 +683,8 @@ def q_source_table_quantiles(spark, sf_dir):
                 .groupBy("lang")
                 .agg(cnt.cast("long").alias("n_rows"),
                      F.first("n_files").alias("n_files"),
-                     (F.abs(_midrank(x, "e50", cnt) - 0.5) <= 0.015).alias("p50_ok"),
-                     (F.abs(_midrank(x, "e99", cnt) - 0.99) <= 0.005).alias("p99_ok")))
+                     _rank_ok(x, "e50", 0.5, cnt, 0.015).alias("p50_ok"),
+                     _rank_ok(x, "e99", 0.99, cnt, 0.005).alias("p99_ok")))
     # per_lang feeds both the total check and the output: materialize the
     # 6 rows so the synthetic generation + digest build run once, not twice
     per_lang = _materialize_small(spark, per_lang)
@@ -739,7 +788,7 @@ def q_checkpoint_resume(spark, sf_dir):
             .agg(F.first("n_rows").alias("n_rows"),
                  F.first("min_price").alias("min_price"),
                  F.first("max_price").alias("max_price"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok")))
 
 
 def q_digest_rollup(spark, sf_dir):
@@ -762,12 +811,12 @@ def q_digest_rollup(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("o_totalprice")
     n = F.count(F.lit(1))
-    return (orders.join(F.broadcast(est), "o_orderpriority")
+    return (_join_est_nullsafe(orders, est, "o_orderpriority")
             .groupBy("o_orderpriority")
             .agg(F.first("n_orders").alias("n_orders"),
                  F.first("min_price").alias("min_price"),
                  F.first("max_price").alias("max_price"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok")))
 
 
 def q_digest_rollup_salted(spark, sf_dir):
@@ -792,12 +841,12 @@ def q_digest_rollup_salted(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50_salted")))
     est_u = _materialize_small(spark, unsalted.select(
         "o_orderpriority", quantile_udf(0.5)(*_D).alias("e50_unsalted")))
-    est = est_s.join(est_u, "o_orderpriority")
+    est = _join_est_nullsafe(est_s, est_u, "o_orderpriority")
     x = F.col("o_totalprice")
     n = F.count(F.lit(1))
     rank_s = _midrank(x, "e50_salted", n)
     rank_u = _midrank(x, "e50_unsalted", n)
-    return (orders.join(F.broadcast(est), "o_orderpriority")
+    return (_join_est_nullsafe(orders, est, "o_orderpriority")
             .groupBy("o_orderpriority")
             .agg(F.first("n_orders").alias("n_orders"),
                  F.first("min_price").alias("min_price"),
@@ -830,7 +879,7 @@ def q_weighted_digest_orders(spark, sf_dir):
     # can never split across clusters (aggregation.py pre_aggregate note),
     # so the quantile can sit up to ~half the heaviest cluster's mass off —
     # q(1-q)*Z(delta,n)/delta/2 ~ 0.039 at the median for delta=100 k2.
-    return (orders.join(F.broadcast(est), "o_orderpriority")
+    return (_join_est_nullsafe(orders, est, "o_orderpriority")
             .groupBy("o_orderpriority")
             .agg(F.first("total_weight").alias("total_weight"),
                  (F.abs(wrank - 0.5) <= 0.03).alias("p50_ok")))
@@ -1024,11 +1073,11 @@ def q_kll_events_quantiles(spark, sf_dir):
     x = F.col("value")
     n = F.count(F.lit(1))
     bound = 2 * 0.0165
-    return (ev.join(F.broadcast(est), "event_type")
+    return (_join_est_nullsafe(ev, est, "event_type")
             .groupBy("event_type")
             .agg(n.cast("long").alias("n"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok"),
-                 (F.abs(_midrank(x, "e99", n) - 0.99) <= bound).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99, n, bound).alias("p99_ok")))
 
 
 def q_req_tail_quantiles(spark, sf_dir):
@@ -1048,7 +1097,7 @@ def q_req_tail_quantiles(spark, sf_dir):
 
     def tail_ok(col, q):
         bound = F.greatest(F.lit(0.3 * (1.0 - q)), F.lit(8.0) / n)
-        return (F.abs(_midrank(x, col, n) - q) <= bound)
+        return _rank_ok(x, col, q, n, bound)
 
     return (li.crossJoin(F.broadcast(est))
             .agg(n.cast("long").alias("n"),
@@ -1203,12 +1252,12 @@ def q_streaming_digest_events(spark, sf_dir):
     # estimates must sit within digest bounds of the batch-side mid-ranks
     x = F.col("value")
     n = F.count(F.lit(1))
-    return (ev.select("event_type", "value")
-            .join(F.broadcast(est), "event_type")
+    return (_join_est_nullsafe(ev.select("event_type", "value"), est,
+                               "event_type")
             .groupBy("event_type")
             .agg(F.first("n_events").cast("long").alias("n_events"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= 0.015).alias("p50_ok"),
-                 (F.abs(_midrank(x, "e99", n) - 0.99) <= 0.005).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99, n, 0.005).alias("p99_ok")))
 
 
 def q_streaming_windowed_digest(spark, sf_dir):
@@ -1268,10 +1317,10 @@ def q_streaming_windowed_digest(spark, sf_dir):
     bound = F.greatest(F.lit(0.02), F.lit(1.5) / n)
     batch = ev.withColumn("win_day", F.date_format(F.date_trunc("day", "ts"),
                                                    "yyyy-MM-dd"))
-    return (batch.join(F.broadcast(est), ["win_day", "event_type"])
+    return (_join_est_nullsafe(batch, est, ["win_day", "event_type"])
             .groupBy("win_day", "event_type")
             .agg(F.first("n_events").alias("n_events"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok")))
 
 
 def q_streaming_distinct_users(spark, sf_dir):
@@ -1457,7 +1506,12 @@ def q_events_value_ranks(spark, sf_dir):
     from pyspark.sql.window import Window
     from t_digest_spark.operators import tdigest_aggregate
     from t_digest_spark.operators.rank import digest_rank_lookup
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # Contract population = the digest's population (value IS NOT NULL):
+    # the operator itself maps NULL values to NaN rank (its documented
+    # surface), but NaN errors would poison F.max and the rank window's
+    # nulls-first ordering would shift every exact rank.
+    ev = (_t(spark, sf_dir, "events").select("event_type", "value")
+          .where(F.col("value").isNotNull()))
     digests = tdigest_aggregate(ev, "value", ["event_type"])
     ranked = digest_rank_lookup(ev, digests, "value", ["event_type"])
     wt = Window.partitionBy("event_type")
@@ -1466,17 +1520,28 @@ def q_events_value_ranks(spark, sf_dir):
     exact = ((F.rank().over(wr) - 1 + 0.5 * F.count("*").over(weq))
              / F.count("*").over(wt))
     err = F.abs(F.col("rank_est") - exact)
+    tie_m = F.count("*").over(weq)     # this row's tie-plateau mass
     # granularity-aware bound: at n~200/group (sf0.001) a single order
     # statistic is 1/n of rank mass and digest clusters hold 1-2 points,
     # so the floor scales as c/n; at gate SFs (n >= 2k) the 1.5%/0.5%
-    # digest contract is the binding term
+    # digest contract is the binding term. TIE terms: a tie plateau of
+    # mass m occupies a weight-m cluster whose interpolated mass ramps
+    # over its span while the exact cdf steps — any value on or just past
+    # the plateau can be off by up to ~m/2n no matter the digest delta
+    # (inherent to value->rank inversion on discrete data; continuous
+    # columns have maxtie=1 and these terms collapse below the 8/n and
+    # 1/n floors, leaving clean-data results bit-identical).
     n = F.count(F.lit(1))
-    return (ranked.withColumn("__err__", err)
+    max_tie_frac = F.max("__tie__") / n
+    sq_tie_frac = F.sum("__tie__") / (n * n)   # sum over rows of m = sum m^2
+    return (ranked.withColumn("__err__", err).withColumn("__tie__", tie_m)
             .groupBy("event_type")
             .agg(n.alias("n_events"),
-                 (F.max("__err__") <= F.greatest(F.lit(0.015), F.lit(8.0) / n))
+                 (F.max("__err__")
+                  <= F.greatest(F.lit(0.015), F.lit(8.0) / n, max_tie_frac))
                  .alias("max_ok"),
-                 (F.avg("__err__") <= F.greatest(F.lit(0.005), F.lit(1.0) / n))
+                 (F.avg("__err__")
+                  <= F.greatest(F.lit(0.005), F.lit(1.0) / n, sq_tie_frac))
                  .alias("avg_ok")))
 
 
@@ -1491,7 +1556,13 @@ def q_theta_user_overlap(spark, sf_dir):
     from t_digest_spark.sketches.spark import (theta_aggregate,
                                                theta_binary_op,
                                                theta_bounds_udf)
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    # NULL ids are out of scope for distinct-set algebra: the sketch drops
+    # them (theta_aggregate hashes non-null keys only, = COUNT(DISTINCT)),
+    # but SQL EXCEPT/INTERSECT treat NULL as equal-to-NULL — so the exact
+    # side and the oracle must exclude them explicitly or the three legs
+    # disagree with each other on NULL-bearing data.
+    ev = (_t(spark, sf_dir, "events").select("event_type", "user_id")
+          .where(F.col("user_id").isNotNull()))
     # the sketch frame stays LAZY: its two filter branches resolve inside
     # one job where the build subtree is shared — measured 2.0s warm vs
     # 4.1s with an eager _materialize_small (the separate collect job
@@ -1573,7 +1644,14 @@ def q_theta_estimation_daily(spark, sf_dir):
     from t_digest_spark.sketches.spark import (theta_aggregate,
                                                theta_bounds_udf,
                                                theta_estimate_udf)
+    # Estimation-regime scope: NULL event types and NULL user ids are out
+    # (a 1-row NULL group is legitimately NOT in the estimation regime the
+    # oracle's hardcoded flags assert, and the sketch + Spark countDistinct
+    # both drop NULL tuple parts while SQL's struct-distinct keeps them) —
+    # the oracle filters identically.
     ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("user_id").isNotNull())
           .select("event_type", "user_id",
                   F.date_trunc("day", "ts").cast("date").alias("day")))
     sk = theta_aggregate(ev, ["user_id", "day"], ["event_type"], k=64)
@@ -1585,7 +1663,7 @@ def q_theta_estimation_daily(spark, sf_dir):
                   bnd("retained", "theta", "k").alias("b"))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id", "day").alias("exact_tuples"))
-    return (s.join(F.broadcast(exact), "event_type")
+    return (_join_est_nullsafe(s, exact, "event_type")
             .select("event_type",
                     F.col("exact_tuples").cast("long").alias("exact_tuples"),
                     "is_estimation",
@@ -1604,7 +1682,11 @@ def q_kll_estimation_events(spark, sf_dir):
     datasketches KllDoublesSketch.getNormalizedRankError) to cover the
     distributed-merge path, measured against exact in-job mid-ranks."""
     from t_digest_spark.sketches.spark import kll_aggregate, kll_quantile_udf
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # NULL event types out of scope: a 1-row NULL group cannot be in the
+    # compaction regime the oracle's hardcoded `compacted` flag asserts
+    # (oracle filters identically)
+    ev = (_t(spark, sf_dir, "events").select("event_type", "value")
+          .where(F.col("event_type").isNotNull()))
     sk = kll_aggregate(ev, "value", ["event_type"], k=16)
     cols = ("items", "offsets", "kmin", "kmax", "count")
     est = sk.select("event_type",
@@ -1614,12 +1696,12 @@ def q_kll_estimation_events(spark, sf_dir):
     bound = 2 * 2.446 / 16 ** 0.9433
     x = F.col("value")
     n = F.count(F.lit(1))
-    return (ev.join(F.broadcast(est), "event_type")
+    return (_join_est_nullsafe(ev, est, "event_type")
             .groupBy("event_type")
             .agg(n.cast("long").alias("n"),
                  F.first("compacted").alias("compacted"),
-                 (F.abs(_midrank(x, "e50", n) - 0.5) <= bound).alias("p50_ok"),
-                 (F.abs(_midrank(x, "e90", n) - 0.9) <= bound).alias("p90_ok")))
+                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok"),
+                 _rank_ok(x, "e90", 0.9, n, bound).alias("p90_ok")))
 
 
 def q_hll_estimation_daily(spark, sf_dir):
@@ -1637,7 +1719,11 @@ def q_hll_estimation_daily(spark, sf_dir):
 
     Reference anchor: DataSketches HllSketch RSE = 1.04/sqrt(k)
     (Spark's hll_sketch_agg wraps the same library)."""
+    # Estimation-regime scope: NULL event types / user ids out on both
+    # sides (see q_theta_estimation_daily's note)
     ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("user_id").isNotNull())
           .select("event_type",
                   F.concat_ws("|", F.col("user_id").cast("string"),
                               F.date_trunc("day", "ts").cast("date")
@@ -1669,7 +1755,11 @@ def q_countmin_estimation_users(spark, sf_dir):
     Reference anchor: Cormode & Muthukrishnan count-min bounds
     (estimate <= true + e*N/w with prob 1-(1/e)^d)."""
     from t_digest_spark.sketches.spark import countmin_aggregate, countmin_estimate
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    # NULL ids carry no frequency identity: the sketch drops them
+    # (countmin_aggregate filters NULL keys) — the exact side and oracle
+    # must match that scope
+    ev = (_t(spark, sf_dir, "events").select("user_id")
+          .where(F.col("user_id").isNotNull()))
     # materialize the 1-row sketch: it feeds BOTH countmin_estimate's
     # broadcast and the N column below — without this the full sketch
     # build (a complete input scan) would execute twice
@@ -1918,8 +2008,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_rollup_digests": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                   count(*) AS n_events, true AS p50_ok
-            FROM events GROUP BY 1
+                   count(value) AS n_events, true AS p50_ok
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         """,
         "range_join_price_bands": """
             WITH bands AS (
@@ -2142,12 +2232,14 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_tuples,
                    true AS is_estimation,
                    true AS within_bounds
-            FROM events GROUP BY event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
         """,
         "kll_estimation_events": """
             SELECT event_type, count(*) AS n, true AS compacted,
                    true AS p50_ok, true AS p90_ok
-            FROM events GROUP BY event_type
+            FROM events WHERE event_type IS NOT NULL GROUP BY event_type
         """,
         "hll_estimation_daily": """
             SELECT event_type,
@@ -2155,7 +2247,9 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_tuples,
                    true AS is_estimation,
                    true AS within_bound
-            FROM events GROUP BY event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type
         """,
         "countmin_estimation_users": """
             SELECT cast(count(DISTINCT user_id) as bigint) AS n_users,
@@ -2163,7 +2257,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(0 as bigint) AS n_undercounts,
                    cast(0 as bigint) AS n_exceed_bound,
                    true AS is_estimation
-            FROM events
+            FROM events WHERE user_id IS NOT NULL
         """,
         "req_tail_quantiles": """
             SELECT count(*) AS n, true AS p99_ok, true AS p999_ok,
@@ -2217,25 +2311,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "events_value_ranks": """
-            SELECT event_type, cast(count(*) as bigint) AS n_events,
+            SELECT event_type, cast(count(value) as bigint) AS n_events,
                    true AS max_ok, true AS avg_ok
-            FROM events GROUP BY event_type
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "theta_user_overlap": """
             SELECT 'union' AS op,
                    cast(count(DISTINCT user_id) as bigint) AS exact_count,
                    true AS theta_ok
             FROM events WHERE event_type IN ('click', 'purchase')
+              AND user_id IS NOT NULL
             UNION ALL
             SELECT 'intersect', cast(count(*) as bigint), true FROM (
-                SELECT user_id FROM events WHERE event_type = 'click'
+                SELECT user_id FROM events
+                WHERE event_type = 'click' AND user_id IS NOT NULL
                 INTERSECT
-                SELECT user_id FROM events WHERE event_type = 'purchase')
+                SELECT user_id FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL)
             UNION ALL
             SELECT 'a_not_b', cast(count(*) as bigint), true FROM (
-                SELECT user_id FROM events WHERE event_type = 'click'
+                SELECT user_id FROM events
+                WHERE event_type = 'click' AND user_id IS NOT NULL
                 EXCEPT
-                SELECT user_id FROM events WHERE event_type = 'purchase')
+                SELECT user_id FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL)
         """,
         "frequent_tokens": """
             SELECT tok AS token, cast(count(*) as bigint) AS true_count,
@@ -2327,9 +2426,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "streaming_digest_events": """
-            SELECT event_type, count(*) AS n_events,
+            SELECT event_type, count(value) AS n_events,
                    true AS p50_ok, true AS p99_ok
-            FROM events GROUP BY event_type
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "streaming_distinct_users": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
@@ -2340,8 +2439,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_windowed_digest": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
-                   event_type, count(*) AS n_events, true AS p50_ok
-            FROM events GROUP BY 1, 2
+                   event_type, count(value) AS n_events, true AS p50_ok
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         """,
         "multimodal_features": """
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,

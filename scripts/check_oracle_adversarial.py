@@ -1,0 +1,240 @@
+"""Adversarial-data correctness sweep: the standard oracle gate on a
+PERTURBED copy of the smallest SF.
+
+The driver's gate (scripts/check_oracle.py) certifies every query against
+its DuckDB oracle on the well-formed synthetic tables — which contain no
+NULLs, no empty strings, no zero vectors, no exact-duplicate rows, and no
+pathological skew. That leaves a latent-divergence class the full-diff
+review actually hit once (the hll gate's ALL-row NULL scope): query and
+oracle can agree on clean data while disagreeing on shapes a 100 TB
+production table WILL contain. This script closes that class for all 62
+gates at once:
+
+  1. copy sf0.001 to a temp dir;
+  2. inject, deterministically (fixed arrays, no RNG):
+     - events: NULL event_type / user_id / value / props rows, an exact
+       duplicate burst (ties in every column but event_id), a hot user
+       with 200 extra events (skew), and +/-1e12 value outliers;
+     - documents: empty text, whitespace-only text, NULL lang, NULL
+       source, exact-duplicate text pairs (dedup fodder), a 1-char doc;
+     - embeddings: an all-zero vector (cosine division hazard), exact
+       clone pairs, a NULL label;
+     - orders: tie-priced orders, a NULL o_orderpriority;
+     - lineitem: tie-priced rows under one returnflag.
+  3. run every queries() entry on Spark and its oracle_sql() on DuckDB
+     over the perturbed tables, with check_oracle's exact compare.
+
+A mismatch here is a latent query/oracle semantic divergence; a crash is
+an operator that a production NULL would kill. Both are findings even
+while the clean-data gate stays green.
+
+Usage: python scripts/check_oracle_adversarial.py [query_name ...]
+Env:   ADVERSARIAL_BASE_SF (default /root/testdata/sf0.001)
+       ADVERSARIAL_KEEP=1 to keep the perturbed dir for inspection
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scripts.check_oracle import compare
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _append(path: str, extra: pd.DataFrame) -> None:
+    """Append rows to a parquet file, preserving the original schema."""
+    orig = pq.read_table(path)
+    extra_tb = pa.Table.from_pandas(extra, preserve_index=False)
+    extra_tb = extra_tb.select(orig.column_names).cast(orig.schema)
+    pq.write_table(pa.concat_tables([orig, extra_tb]), path)
+
+
+def perturb_events(path: str) -> None:
+    base = pq.read_table(path).to_pandas()
+    t0 = base["ts"].iloc[0]
+    nid = int(base["event_id"].max()) + 1
+    rows = []
+    # NULL singletons, one per nullable column
+    rows.append(dict(event_id=nid, ts=t0, user_id=7, event_type=None,
+                     value=1.5, props='{"k":1}'))
+    rows.append(dict(event_id=nid + 1, ts=t0, user_id=None,
+                     event_type="click", value=2.5, props='{"k":2}'))
+    rows.append(dict(event_id=nid + 2, ts=t0, user_id=8,
+                     event_type="view", value=None, props='{"k":3}'))
+    rows.append(dict(event_id=nid + 3, ts=t0, user_id=9,
+                     event_type="click", value=3.5, props=None))
+    # exact-tie burst: 6 rows identical in every column but event_id
+    for i in range(6):
+        rows.append(dict(event_id=nid + 10 + i, ts=t0, user_id=11,
+                         event_type="purchase", value=42.0, props='{"t":1}'))
+    # hot user: 200 extra events on one key (skew)
+    hot_ts = base["ts"].iloc[:200].tolist()
+    for i in range(200):
+        rows.append(dict(event_id=nid + 100 + i, ts=hot_ts[i], user_id=13,
+                         event_type="view", value=float(i % 7),
+                         props='{"hot":true}'))
+    # extreme-magnitude values
+    rows.append(dict(event_id=nid + 500, ts=t0, user_id=14,
+                     event_type="error", value=1e12, props="{}"))
+    rows.append(dict(event_id=nid + 501, ts=t0, user_id=14,
+                     event_type="error", value=-1e12, props="{}"))
+    _append(path, pd.DataFrame(rows))
+
+
+def perturb_documents(path: str) -> None:
+    base = pq.read_table(path).to_pandas()
+    nid = int(base["doc_id"].max()) + 1
+    dup_text = str(base["text"].iloc[0])
+    rows = [
+        dict(doc_id=nid, text="", lang="en", source="web", n_chars=0),
+        dict(doc_id=nid + 1, text="   \n\t  ", lang="en", source="web",
+             n_chars=7),
+        dict(doc_id=nid + 2, text="hello world", lang=None, source="web",
+             n_chars=11),
+        dict(doc_id=nid + 3, text="bonjour", lang="fr", source=None,
+             n_chars=7),
+        # exact duplicate pair of an existing doc (dedup fodder)
+        dict(doc_id=nid + 4, text=dup_text, lang=str(base["lang"].iloc[0]),
+             source="mirror", n_chars=int(base["n_chars"].iloc[0])),
+        dict(doc_id=nid + 5, text=dup_text, lang=str(base["lang"].iloc[0]),
+             source="mirror", n_chars=int(base["n_chars"].iloc[0])),
+        dict(doc_id=nid + 6, text="x", lang="zh", source="web", n_chars=1),
+    ]
+    _append(path, pd.DataFrame(rows))
+
+
+def perturb_embeddings(path: str) -> None:
+    base = pq.read_table(path).to_pandas()
+    nid = int(base["vec_id"].max()) + 1
+    dim = len(base["embedding"].iloc[0])
+    clone = [float(x) for x in base["embedding"].iloc[0]]
+    rows = [
+        # all-zero vector: cosine denominators must not divide by zero
+        dict(vec_id=nid, embedding=[0.0] * dim, label=0),
+        # exact clone pair of an existing vector
+        dict(vec_id=nid + 1, embedding=clone, label=int(base["label"].iloc[0])),
+        dict(vec_id=nid + 2, embedding=clone, label=int(base["label"].iloc[0])),
+        # NULL label
+        dict(vec_id=nid + 3, embedding=clone, label=None),
+    ]
+    extra = pd.DataFrame(rows)
+    extra["label"] = extra["label"].astype("Int32")
+    _append(path, extra)
+
+
+def perturb_orders(path: str) -> None:
+    base = pq.read_table(path).to_pandas()
+    nid = int(base["o_orderkey"].max()) + 1
+    t0 = base["o_orderdate"].iloc[0]
+    rows = [
+        dict(o_orderkey=nid + i, o_custkey=int(base["o_custkey"].iloc[0]),
+             o_orderstatus="F", o_totalprice=55555.55, o_orderdate=t0,
+             o_orderpriority="3-MEDIUM")
+        for i in range(4)                     # tie-priced burst
+    ]
+    rows.append(dict(o_orderkey=nid + 10,
+                     o_custkey=int(base["o_custkey"].iloc[1]),
+                     o_orderstatus="O", o_totalprice=77.77, o_orderdate=t0,
+                     o_orderpriority=None))   # NULL group key
+    _append(path, pd.DataFrame(rows))
+
+
+def perturb_lineitem(path: str) -> None:
+    base = pq.read_table(path).to_pandas()
+    nkey = int(base["l_orderkey"].max()) + 1
+    t0 = base["l_shipdate"].iloc[0]
+    rows = [
+        dict(l_orderkey=nkey, l_partkey=1, l_suppkey=1, l_linenumber=i + 1,
+             l_quantity=25.0, l_extendedprice=1234.56, l_discount=0.05,
+             l_tax=0.02, l_returnflag="N", l_linestatus="O", l_shipdate=t0)
+        for i in range(5)                     # tie-priced burst, one flag
+    ]
+    _append(path, pd.DataFrame(rows))
+
+
+def build_adversarial_dir(base_sf: str, dest: str) -> None:
+    for t in TABLES:
+        shutil.copy(os.path.join(base_sf, f"{t}.parquet"),
+                    os.path.join(dest, f"{t}.parquet"))
+    perturb_events(os.path.join(dest, "events.parquet"))
+    perturb_documents(os.path.join(dest, "documents.parquet"))
+    perturb_embeddings(os.path.join(dest, "embeddings.parquet"))
+    perturb_orders(os.path.join(dest, "orders.parquet"))
+    perturb_lineitem(os.path.join(dest, "lineitem.parquet"))
+
+
+def main():
+    base_sf = os.environ.get("ADVERSARIAL_BASE_SF", "/root/testdata/sf0.001")
+    only = set(sys.argv[1:])
+    dest = tempfile.mkdtemp(prefix="tdigest_adversarial_")
+    build_adversarial_dir(base_sf, dest)
+    print(f"perturbed tables in {dest}")
+
+    import __spark_entry__ as entrymod
+    from t_digest_spark.plans import get_spark
+    spark = get_spark("oracle-check-adversarial", master="local[8]",
+                      shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{dest}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_err = n_rows_only = 0
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        print(f"== {name}")
+        try:
+            spark_pdf = fn(spark, dest).toPandas()
+        except Exception as e:
+            print(f"  SPARK ERROR: {type(e).__name__}: {str(e)[:300]}")
+            n_err += 1
+            failures.append((name, "spark_error"))
+            continue
+        if name not in oracles:
+            print(f"  rows-only: {len(spark_pdf)} rows")
+            n_rows_only += 1
+            continue
+        try:
+            oracle_pdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"  ORACLE ERROR: {type(e).__name__}: {str(e)[:300]}")
+            n_err += 1
+            failures.append((name, "oracle_error"))
+            continue
+        if compare(name, spark_pdf, oracle_pdf):
+            print(f"  OK ({len(spark_pdf)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append((name, "mismatch"))
+    print(f"\npass={n_pass} fail={n_fail} err={n_err} rows_only={n_rows_only}")
+    if failures:
+        print("failures:", failures)
+    spark.stop()
+    if os.environ.get("ADVERSARIAL_KEEP") != "1":
+        shutil.rmtree(dest, ignore_errors=True)
+    else:
+        print(f"kept: {dest}")
+    sys.exit(1 if (n_fail or n_err) else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,10 +115,14 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     qs = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec"),
         F.col("_norm").alias("_qnorm"))
+    # cosine_pair_col, not a raw divide: a zero-norm vector (real corpora
+    # contain them) makes the denominator 0, which under ANSI mode is a
+    # job-killing DIVIDE_BY_ZERO; the shared guard yields -Infinity so the
+    # degenerate row ranks last instead.
     scored = (corpus.join(F.broadcast(qs), F.col("corpus_id") != F.col("query_id"))
               .withColumn("cosine",
-                          _dot(F.col("_vec"), F.col("_qvec"))
-                          / (F.col("_cnorm") * F.col("_qnorm"))))
+                          cosine_pair_col(F.col("_vec"), F.col("_qvec"),
+                                          F.col("_cnorm"), F.col("_qnorm"))))
     from pyspark.sql.window import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     # rank cast to long: row_number() is int32 in Spark but the oracle engine

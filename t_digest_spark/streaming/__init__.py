@@ -317,8 +317,14 @@ def theta_stream_aggregate(df: DataFrame, key_col: str,
     from t_digest_spark.sketches.theta import ThetaSketch
 
     group_cols = list(group_cols)
-    df = df.withColumn("__h__",
-                       F.shiftrightunsigned(F.xxhash64(key_col), 1))
+    # NULL keys carry no distinct identity and must not count: xxhash64 of
+    # NULL evaluates to the seed (a perfectly valid hash), so without this
+    # filter a NULL id would inflate every window's distinct count — the
+    # batch counterpart (sketches/spark.py theta_aggregate) drops NULL
+    # keys the same way, as does COUNT(DISTINCT).
+    df = (df.where(F.col(key_col).isNotNull())
+          .withColumn("__h__",
+                      F.shiftrightunsigned(F.xxhash64(key_col), 1)))
     by_name = {f.name: f for f in df.schema.fields}
     out_schema = StructType([by_name[c] for c in group_cols])
     for name, typ in (("retained", ArrayType(LongType())),

@@ -126,6 +126,23 @@ def test_brute_force_topk_matches_numpy(spark):
             assert got[(qi, rank)] == j, (qi, rank)
 
 
+def test_brute_force_topk_survives_zero_vector(spark):
+    """A zero-norm embedding (real corpora contain them) must not kill the
+    job with ANSI DIVIDE_BY_ZERO; the shared cosine guard maps it to
+    -Infinity so it ranks last both as corpus row and as query."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((10, 8))
+    vecs[3] = 0.0                       # zero corpus/query vector
+    df = _emb(spark, vecs)
+    out = brute_force_topk(df, df.where(F.col("vec_id").isin(0, 3)), k=3)
+    rows = out.collect()
+    # corpus row 3 never appears in another query's top-3 (9 candidates,
+    # 3 slots, -inf ranks last); query 3's results exist with cosine=-inf
+    assert all(r.corpus_id != 3 for r in rows if r.query_id == 0)
+    q3 = [r for r in rows if r.query_id == 3]
+    assert len(q3) == 3 and all(r.cosine == float("-inf") for r in q3)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """Planted-cluster corpus (true neighbors at cosine ~0.95): multi-table
     sign-LSH must recover most brute-force top-k pairs. Purely random

@@ -489,10 +489,15 @@ def test_theta_stream_matches_batch(spark):
     from t_digest_spark.sketches.theta import ThetaSketch
     from t_digest_spark.streaming import theta_stream_aggregate
 
-    batch1 = pd.DataFrame({"g": ["a"] * 3000 + ["b"] * 3000,
-                           "u": list(range(1000)) * 3 + list(range(500, 2000, 1)) * 2})
+    batch1 = pd.DataFrame({"g": ["a"] * 3000 + ["b"] * 3000 + ["a"] * 5,
+                           "u": pd.array(list(range(1000)) * 3
+                                         + list(range(500, 2000, 1)) * 2
+                                         + [None] * 5, dtype="Int64")})
     batch2 = pd.DataFrame({"g": ["a"] * 2000,
-                           "u": list(range(500, 2500, 1))})
+                           "u": pd.array(list(range(500, 2500, 1)),
+                                         dtype="Int64")})
+    # the 5 NULL ids must not count: xxhash64(NULL) is the seed value, a
+    # valid hash — the accumulator filters NULL keys like batch theta
 
     work = tempfile.mkdtemp(prefix="theta_stream_")
     in_dir = os.path.join(work, "in")
@@ -521,8 +526,9 @@ def test_theta_stream_matches_batch(spark):
                                      latest["a"].k).estimate()
         est_b = ThetaSketch.from_row(latest["b"].retained, latest["b"].theta,
                                      latest["b"].k).estimate()
-        exact_a = len(set(batch1[batch1.g == "a"].u) | set(batch2.u))
-        exact_b = len(set(batch1[batch1.g == "b"].u))
+        exact_a = len(set(batch1[batch1.g == "a"].u.dropna())
+                      | set(batch2.u.dropna()))
+        exact_b = len(set(batch1[batch1.g == "b"].u.dropna()))
         assert est_a == float(exact_a)
         assert est_b == float(exact_b)
     finally:
