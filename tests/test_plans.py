@@ -281,3 +281,17 @@ def test_compare_flags_exact_ks_no_full_domain_sort(spark):
     assert domain_specs, "expected a window ordered by the value domain"
     for s in domain_specs:
         assert "__chunk__" in s, f"full-domain sort window found: {s}"
+
+
+def test_nullsafe_contract_join_is_broadcast_hash(spark):
+    """The null-safe contract joins (_join_est_nullsafe) must still plan
+    as BroadcastHashJoin: Spark lowers eqNullSafe to (coalesce, isnull)
+    composite hash keys, NOT a nested-loop — the property that keeps the
+    join-back O(rows) at 100 TB. Guards against a regression to
+    BroadcastNestedLoopJoin if the join condition is ever rewritten in a
+    form Catalyst can't hash."""
+    import __spark_entry__ as em
+    df = em.queries()["digest_rollup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
