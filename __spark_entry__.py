@@ -267,7 +267,7 @@ def q_time_rollup_digests(spark, sf_dir):
     # continuous data has maxtie=1 so the term stays under the 1.5/n
     # floor. Computed as a map-side-combinable sub-aggregate (one row per
     # day, broadcast back), NOT a window over the raw rows.
-    ties = (ev.where(F.col("value").isNotNull())   # NULLs are not a plateau
+    ties = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
             .groupBy("day", "value").agg(F.count(F.lit(1)).alias("__m__"))
             .groupBy("day").agg(F.max("__m__").alias("__maxtie__")))
     est2 = _join_est_nullsafe(est, ties, "day")
@@ -276,7 +276,7 @@ def q_time_rollup_digests(spark, sf_dir):
     return (_join_est_nullsafe(ev, est2, "day")
             .groupBy("day")
             .agg(F.first("n_events").alias("n_events"),
-                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, bound).alias("p50_ok")))
 
 
 def q_range_join_price_bands(spark, sf_dir):
@@ -510,8 +510,7 @@ def _midrank(x: F.Column, est_col: str, n: F.Column) -> F.Column:
             / (F.lit(2.0) * n))
 
 
-def _rank_ok(x: F.Column, est_col: str, q: float, n: F.Column,
-             bound) -> F.Column:
+def _rank_ok(x: F.Column, est_col: str, q: float, bound) -> F.Column:
     """Tie-aware quantile contract: the target rank q must lie within the
     estimate's exact cdf SPAN [strictly-below/n, lte/n] widened by bound.
     With continuous values the span collapses to the mid-rank +- 1/(2n) and
@@ -523,8 +522,14 @@ def _rank_ok(x: F.Column, est_col: str, q: float, n: F.Column,
     the digest's answer is exactly right; the span form states the real
     t-digest guarantee (rank error bounds on the cdf, Dist.cdf tie
     convention)."""
-    below = F.sum((x < F.col(est_col)).cast("long")).cast("double") / n
-    lte = F.sum((x <= F.col(est_col)).cast("long")).cast("double") / n
+    # Denominator = the sketch's own population (non-NULL, non-NaN), NOT
+    # the caller's row count: NULL x drops out of the SUM numerators
+    # (NULL comparison) and NaN x compares false — threading a count(*)
+    # denominator would deflate both fractions on NULL/NaN-bearing data
+    # and fail the contract even when the estimate is exactly right.
+    pop = F.sum((x.isNotNull() & ~F.isnan(x)).cast("long")).cast("double")
+    below = F.sum((x < F.col(est_col)).cast("long")).cast("double") / pop
+    lte = F.sum((x <= F.col(est_col)).cast("long")).cast("double") / pop
     return (below - bound <= F.lit(float(q))) & (F.lit(float(q)) <= lte + bound)
 
 
@@ -582,15 +587,20 @@ def q_tdigest_price_quantiles(spark, sf_dir):
     # ObjectHashAggregate and (b) buffer + shuffle 100% of the column into 3
     # reducers at scale. `ranks` feeds both the iq pass and the final
     # select, so it is materialized (3 rows) rather than re-executed
-    ranks = (li.join(F.broadcast(est), "l_returnflag")
+    # population = valid prices (the digest's own population; NULL/NaN
+    # rows would deflate every rank fraction), contract booleans in the
+    # tie-aware span form (_rank_ok) so tiny or tie-heavy groups judge the
+    # digest by its real cdf guarantee
+    pop = F.sum((x.isNotNull() & ~F.isnan(x)).cast("long")).cast("double")
+    ranks = (_join_est_nullsafe(li, est, "l_returnflag")
              .groupBy("l_returnflag")
              .agg(n.cast("long").alias("n_rows"),
-                  _midrank(x, "e50", n).alias("r50"),
-                  _midrank(x, "e99", n).alias("r99"),
-                  _midrank(x, "e999", n).alias("r999"),
+                  _rank_ok(x, "e50", 0.5, 0.015).alias("p50_ok"),
+                  _rank_ok(x, "e99", 0.99, 0.005).alias("p99_ok"),
+                  _rank_ok(x, "e999", 0.999, 0.002).alias("p999_ok"),
                   ((F.sum((x < 30000.0).cast("long"))
                     + F.sum((x <= 30000.0).cast("long"))).cast("double")
-                   / (F.lit(2.0) * n)).alias("r30k"),
+                   / (F.lit(2.0) * pop)).alias("r30k"),
                   F.first("eiq").alias("eiq"),
                   F.first("ecdf").alias("ecdf")))
     ranks = _materialize_small(spark, ranks)
@@ -599,18 +609,16 @@ def q_tdigest_price_quantiles(spark, sf_dir):
                                    "l_returnflag", dig_rows, qs=(0.25, 0.75))
     cuts_df = F.broadcast(spark.createDataFrame(
         [(g, cuts[(g, 0.25)], cuts[(g, 0.75)])
-         for g in sorted({g for g, _ in cuts})],
+         for g in sorted({g for g, _ in cuts},
+                         key=lambda g: (g is not None, g))],
         "l_returnflag string, x25 double, x75 double"))
-    ranks = ranks.join(cuts_df, "l_returnflag")
-    iq = (li.join(F.broadcast(ranks.select("l_returnflag", "x25", "x75")),
-                  "l_returnflag")
+    ranks = _join_est_nullsafe(ranks, cuts_df, "l_returnflag")
+    iq = (_join_est_nullsafe(li, ranks.select("l_returnflag", "x25", "x75"),
+                             "l_returnflag")
           .where((x >= F.col("x25")) & (x <= F.col("x75")))
           .groupBy("l_returnflag").agg(F.avg(x).alias("iq_exact")))
-    return (ranks.join(iq, "l_returnflag")
-            .select("l_returnflag", "n_rows",
-                    (F.abs(F.col("r50") - 0.5) <= 0.015).alias("p50_ok"),
-                    (F.abs(F.col("r99") - 0.99) <= 0.005).alias("p99_ok"),
-                    (F.abs(F.col("r999") - 0.999) <= 0.002).alias("p999_ok"),
+    return (_join_est_nullsafe(ranks, iq, "l_returnflag")
+            .select("l_returnflag", "n_rows", "p50_ok", "p99_ok", "p999_ok",
                     (F.abs(F.col("eiq") - F.col("iq_exact"))
                      / F.col("iq_exact") <= 0.02).alias("iq_mean_ok"),
                     (F.abs(F.col("ecdf") - F.col("r30k")) <= 0.015).alias("cdf30k_ok")))
@@ -634,11 +642,11 @@ def q_avl_price_quantiles(spark, sf_dir):
         avl_quantile_udf(0.99)(*_D).alias("e99"))
     x = F.col("l_extendedprice")
     n = F.count(F.lit(1))
-    return (li.join(F.broadcast(est), "l_returnflag")
+    return (_join_est_nullsafe(li, est, "l_returnflag")
             .groupBy("l_returnflag")
             .agg(n.cast("long").alias("n_rows"),
-                 _rank_ok(x, "e50", 0.5, n, 0.02).alias("p50_ok"),
-                 _rank_ok(x, "e99", 0.99, n, 0.01).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5, 0.02).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99, 0.01).alias("p99_ok")))
 
 
 def q_tdigest_events_global(spark, sf_dir):
@@ -651,11 +659,19 @@ def q_tdigest_events_global(spark, sf_dir):
                      quantile_udf(0.999, 200.0)(*_D).alias("e999"))
     x = F.col("value")
     n = F.count(F.lit(1))
-    return (ev.crossJoin(F.broadcast(est))
+    # global tie term (q_time_rollup_digests' note): one row, broadcast
+    ties = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+            .groupBy("value").agg(F.count(F.lit(1)).alias("__m__"))
+            .agg(F.max("__m__").alias("__maxtie__")))
+    tie_term = F.first("__maxtie__") / n
+    return (ev.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(ties))
             .agg(n.cast("long").alias("n"),
-                 _rank_ok(x, "e001", 0.001, n, 0.002).alias("p001_ok"),
-                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok"),
-                 _rank_ok(x, "e999", 0.999, n, 0.002).alias("p999_ok")))
+                 _rank_ok(x, "e001", 0.001,
+                          F.greatest(F.lit(0.002), tie_term)).alias("p001_ok"),
+                 _rank_ok(x, "e50", 0.5,
+                          F.greatest(F.lit(0.015), tie_term)).alias("p50_ok"),
+                 _rank_ok(x, "e999", 0.999,
+                          F.greatest(F.lit(0.002), tie_term)).alias("p999_ok")))
 
 
 def q_source_table_quantiles(spark, sf_dir):
@@ -683,8 +699,8 @@ def q_source_table_quantiles(spark, sf_dir):
                 .groupBy("lang")
                 .agg(cnt.cast("long").alias("n_rows"),
                      F.first("n_files").alias("n_files"),
-                     _rank_ok(x, "e50", 0.5, cnt, 0.015).alias("p50_ok"),
-                     _rank_ok(x, "e99", 0.99, cnt, 0.005).alias("p99_ok")))
+                     _rank_ok(x, "e50", 0.5, 0.015).alias("p50_ok"),
+                     _rank_ok(x, "e99", 0.99, 0.005).alias("p99_ok")))
     # per_lang feeds both the total check and the output: materialize the
     # 6 rows so the synthetic generation + digest build run once, not twice
     per_lang = _materialize_small(spark, per_lang)
@@ -783,12 +799,12 @@ def q_checkpoint_resume(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("l_extendedprice")
     n = F.count(F.lit(1))
-    return (li.join(F.broadcast(est), "l_returnflag")
+    return (_join_est_nullsafe(li, est, "l_returnflag")
             .groupBy("l_returnflag")
             .agg(F.first("n_rows").alias("n_rows"),
                  F.first("min_price").alias("min_price"),
                  F.first("max_price").alias("max_price"),
-                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, 0.015).alias("p50_ok")))
 
 
 def q_digest_rollup(spark, sf_dir):
@@ -816,7 +832,7 @@ def q_digest_rollup(spark, sf_dir):
             .agg(F.first("n_orders").alias("n_orders"),
                  F.first("min_price").alias("min_price"),
                  F.first("max_price").alias("max_price"),
-                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, 0.015).alias("p50_ok")))
 
 
 def q_digest_rollup_salted(spark, sf_dir):
@@ -851,7 +867,10 @@ def q_digest_rollup_salted(spark, sf_dir):
             .agg(F.first("n_orders").alias("n_orders"),
                  F.first("min_price").alias("min_price"),
                  F.first("max_price").alias("max_price"),
-                 (F.abs(rank_s - 0.5) <= 0.015).alias("p50_ok"),
+                 _rank_ok(x, "e50_salted", 0.5, 0.015).alias("p50_ok"),
+                 # agree_ok compares the two mid-ranks: the shared n
+                 # denominator cancels and both sit on the same plateau
+                 # midpoint under ties, so the mid-rank form stays exact
                  (F.abs(rank_s - rank_u) <= 0.015).alias("agree_ok")))
 
 
@@ -871,7 +890,10 @@ def q_weighted_digest_orders(spark, sf_dir):
         F.col("count").cast("long").alias("total_weight"),
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("o_totalprice")
-    wsum = F.sum("w")
+    # weight denominator over the DIGEST's population (valid x only) —
+    # same deflation hazard as _rank_ok's note, weighted form
+    wsum = F.sum(F.when(x.isNotNull() & ~F.isnan(x), F.col("w"))
+                 .otherwise(0.0))
     wrank = ((F.sum(F.when(x < F.col("e50"), F.col("w")).otherwise(0.0))
               + F.sum(F.when(x <= F.col("e50"), F.col("w")).otherwise(0.0)))
              / (F.lit(2.0) * wsum))
@@ -1076,8 +1098,8 @@ def q_kll_events_quantiles(spark, sf_dir):
     return (_join_est_nullsafe(ev, est, "event_type")
             .groupBy("event_type")
             .agg(n.cast("long").alias("n"),
-                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok"),
-                 _rank_ok(x, "e99", 0.99, n, bound).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5, bound).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99, bound).alias("p99_ok")))
 
 
 def q_req_tail_quantiles(spark, sf_dir):
@@ -1097,7 +1119,7 @@ def q_req_tail_quantiles(spark, sf_dir):
 
     def tail_ok(col, q):
         bound = F.greatest(F.lit(0.3 * (1.0 - q)), F.lit(8.0) / n)
-        return _rank_ok(x, col, q, n, bound)
+        return _rank_ok(x, col, q, bound)
 
     return (li.crossJoin(F.broadcast(est))
             .agg(n.cast("long").alias("n"),
@@ -1249,15 +1271,25 @@ def q_streaming_digest_events(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50"),
         quantile_udf(0.99)(*_D).alias("e99"))
     # contract: stream-state counts are EXACT; stream-state quantile
-    # estimates must sit within digest bounds of the batch-side mid-ranks
+    # estimates must sit within digest bounds of the batch-side cdf spans
+    # (tie term per q_time_rollup_digests' note: an interpolated estimate
+    # can miss a tie plateau's step by ~m/2n at any delta)
     x = F.col("value")
     n = F.count(F.lit(1))
+    ties = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+            .groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("__m__"))
+            .groupBy("event_type").agg(F.max("__m__").alias("__maxtie__")))
+    est = _join_est_nullsafe(est, ties, "event_type")
+    tie_term = F.first("__maxtie__") / n
     return (_join_est_nullsafe(ev.select("event_type", "value"), est,
                                "event_type")
             .groupBy("event_type")
             .agg(F.first("n_events").cast("long").alias("n_events"),
-                 _rank_ok(x, "e50", 0.5, n, 0.015).alias("p50_ok"),
-                 _rank_ok(x, "e99", 0.99, n, 0.005).alias("p99_ok")))
+                 _rank_ok(x, "e50", 0.5,
+                          F.greatest(F.lit(0.015), tie_term)).alias("p50_ok"),
+                 _rank_ok(x, "e99", 0.99,
+                          F.greatest(F.lit(0.005), tie_term)).alias("p99_ok")))
 
 
 def q_streaming_windowed_digest(spark, sf_dir):
@@ -1312,15 +1344,23 @@ def q_streaming_windowed_digest(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("value")
     n = F.count(F.lit(1))
-    # granularity-aware bound: per-(day, type) groups are small, so the
-    # mid-rank of even an EXACT median is up to ~1/n off 0.5
-    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n)
     batch = ev.withColumn("win_day", F.date_format(F.date_trunc("day", "ts"),
                                                    "yyyy-MM-dd"))
+    # granularity-aware bound: per-(day, type) groups are small, so even
+    # an EXACT median's rank is up to ~1/n off 0.5; the tie term covers
+    # interpolation across plateaus (q_time_rollup_digests' note)
+    ties = (batch.where(F.col("value").isNotNull() & ~F.isnan("value"))
+            .groupBy("win_day", "event_type", "value")
+            .agg(F.count(F.lit(1)).alias("__m__"))
+            .groupBy("win_day", "event_type")
+            .agg(F.max("__m__").alias("__maxtie__")))
+    est = _join_est_nullsafe(est, ties, ["win_day", "event_type"])
+    bound = F.greatest(F.lit(0.02), F.lit(1.5) / n,
+                       F.first("__maxtie__") / n)
     return (_join_est_nullsafe(batch, est, ["win_day", "event_type"])
             .groupBy("win_day", "event_type")
             .agg(F.first("n_events").alias("n_events"),
-                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok")))
+                 _rank_ok(x, "e50", 0.5, bound).alias("p50_ok")))
 
 
 def q_streaming_distinct_users(spark, sf_dir):
@@ -1511,7 +1551,7 @@ def q_events_value_ranks(spark, sf_dir):
     # surface), but NaN errors would poison F.max and the rank window's
     # nulls-first ordering would shift every exact rank.
     ev = (_t(spark, sf_dir, "events").select("event_type", "value")
-          .where(F.col("value").isNotNull()))
+          .where(F.col("value").isNotNull() & ~F.isnan("value")))
     digests = tdigest_aggregate(ev, "value", ["event_type"])
     ranked = digest_rank_lookup(ev, digests, "value", ["event_type"])
     wt = Window.partitionBy("event_type")
@@ -1700,8 +1740,8 @@ def q_kll_estimation_events(spark, sf_dir):
             .groupBy("event_type")
             .agg(n.cast("long").alias("n"),
                  F.first("compacted").alias("compacted"),
-                 _rank_ok(x, "e50", 0.5, n, bound).alias("p50_ok"),
-                 _rank_ok(x, "e90", 0.9, n, bound).alias("p90_ok")))
+                 _rank_ok(x, "e50", 0.5, bound).alias("p50_ok"),
+                 _rank_ok(x, "e90", 0.9, bound).alias("p90_ok")))
 
 
 def q_hll_estimation_daily(spark, sf_dir):
@@ -2009,7 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_digests": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(value) AS n_events, true AS p50_ok
-            FROM events WHERE value IS NOT NULL GROUP BY 1
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
         """,
         "range_join_price_bands": """
             WITH bands AS (
@@ -2189,12 +2229,14 @@ def oracle_sql() -> dict[str, str]:
                    true AS p50_ok, true AS p99_ok, true AS p999_ok,
                    true AS iq_mean_ok, true AS cdf30k_ok
             FROM lineitem GROUP BY l_returnflag
+            HAVING count(CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) THEN 1 END) > 0
         """,
         "avl_price_quantiles": """
             SELECT l_returnflag, count(*) AS n_rows,
                    true AS p50_ok, true AS p99_ok
             FROM lineitem WHERE l_orderkey % 10 = 0
             GROUP BY l_returnflag
+            HAVING count(CASE WHEN l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) THEN 1 END) > 0
         """,
         "tdigest_events_global": """
             SELECT count(*) AS n,
@@ -2313,7 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_ranks": """
             SELECT event_type, cast(count(value) as bigint) AS n_events,
                    true AS max_ok, true AS avg_ok
-            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type
         """,
         "theta_user_overlap": """
             SELECT 'union' AS op,
@@ -2375,7 +2417,7 @@ def oracle_sql() -> dict[str, str]:
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price,
                    true AS p50_ok
-            FROM lineitem GROUP BY l_returnflag
+            FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice) GROUP BY l_returnflag
         """,
         "digest_rollup": """
             SELECT o_orderpriority, count(*) AS n_orders,
@@ -2428,7 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_digest_events": """
             SELECT event_type, count(value) AS n_events,
                    true AS p50_ok, true AS p99_ok
-            FROM events WHERE value IS NOT NULL GROUP BY event_type
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type
         """,
         "streaming_distinct_users": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
@@ -2440,7 +2482,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_digest": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
                    event_type, count(value) AS n_events, true AS p50_ok
-            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2
         """,
         "multimodal_features": """
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,

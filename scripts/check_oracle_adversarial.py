@@ -7,8 +7,9 @@ NULLs, no empty strings, no zero vectors, no exact-duplicate rows, and no
 pathological skew. That leaves a latent-divergence class the full-diff
 review actually hit once (the hll gate's ALL-row NULL scope): query and
 oracle can agree on clean data while disagreeing on shapes a 100 TB
-production table WILL contain. This script closes that class for all 62
-gates at once:
+production table WILL contain. This script sweeps that class across all
+62 gates for every shape it injects (the class is open-ended — each new
+divergence found should become a new injected shape here):
 
   1. copy sf0.001 to a temp dir;
   2. inject, deterministically (fixed arrays, no RNG):
@@ -91,6 +92,16 @@ def perturb_events(path: str) -> None:
                      event_type="error", value=1e12, props="{}"))
     rows.append(dict(event_id=nid + 501, ts=t0, user_id=14,
                      event_type="error", value=-1e12, props="{}"))
+    # NaN value (distinct failure mode from NULL: compares false, not
+    # NULL, and poisons max/avg if it reaches them)
+    rows.append(dict(event_id=nid + 502, ts=t0, user_id=15,
+                     event_type="error", value=float("nan"), props="{}"))
+    # NULL-heavy value cohort: ~14% of one type's values NULL, so a
+    # count(*)-denominator rank fraction deflates past every bound
+    # (a single NULL row would hide inside the bounds)
+    for i in range(30):
+        rows.append(dict(event_id=nid + 600 + i, ts=hot_ts[i], user_id=16,
+                         event_type="signup", value=None, props="{}"))
     _append(path, pd.DataFrame(rows))
 
 
@@ -162,6 +173,16 @@ def perturb_lineitem(path: str) -> None:
              l_tax=0.02, l_returnflag="N", l_linestatus="O", l_shipdate=t0)
         for i in range(5)                     # tie-priced burst, one flag
     ]
+    # NULL group key: SQL GROUP BY keeps a NULL l_returnflag group — the
+    # contract joins and the exact-quantile refinement must too. Ten rows
+    # (orderkeys nkey+1..): enough that the group survives the 1-in-10
+    # orderkey slice some gates apply.
+    for i in range(10):
+        rows.append(dict(
+            l_orderkey=nkey + 1 + i, l_partkey=2, l_suppkey=2,
+            l_linenumber=1, l_quantity=1.0,
+            l_extendedprice=100.0 + 7.0 * i, l_discount=0.0, l_tax=0.0,
+            l_returnflag=None, l_linestatus="O", l_shipdate=t0))
     _append(path, pd.DataFrame(rows))
 
 

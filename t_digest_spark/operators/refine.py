@@ -155,10 +155,12 @@ def refined_exact_quantiles(
     # 2. pass A: slice rank offsets per (group, q) — codegen conditional sums
     x = F.col(value_col)
     agg_cols = []
-    groups = sorted(brackets)
+    # NULL group keys are real groups (SQL GROUP BY keeps them): sort
+    # them first (None is unorderable against str) and match null-safely
+    groups = sorted(brackets, key=lambda g: (g is not None, g))
     for gi, g in enumerate(groups):
         b = brackets[g]
-        in_g = F.col(group_col) == F.lit(g)
+        in_g = F.col(group_col).eqNullSafe(F.lit(g))
         for i in range(len(qs)):
             lo, hi = float(b[f"lo{i}"]), float(b[f"hi{i}"])
             agg_cols.append(F.sum((in_g & (x < lo)).cast("long"))
@@ -191,7 +193,9 @@ def refined_exact_quantiles(
     if plan:
         exprs = []
         for (g, q), (gi, i, lo, hi, p0, p1, frac) in plan.items():
-            case = (f"CASE WHEN {group_col} = {_sql_str(g)} AND "
+            gcond = (f"{group_col} IS NULL" if g is None
+                     else f"{group_col} = {_sql_str(g)}")
+            case = (f"CASE WHEN {gcond} AND "
                     f"{value_col} >= {lo!r} AND {value_col} <= {hi!r} "
                     f"THEN {value_col} END")
             # array form: ONE slice buffer per (group, q), both order stats
@@ -210,7 +214,7 @@ def refined_exact_quantiles(
         for g, q in fallback:
             by_g.setdefault(g, []).append(q)
         for g, g_qs in by_g.items():
-            row = (df.where(F.col(group_col) == F.lit(g))
+            row = (df.where(F.col(group_col).eqNullSafe(F.lit(g)))
                    .agg(*[F.expr(f"percentile({value_col}, {q!r})")
                           .alias(f"p{i}") for i, q in enumerate(g_qs)])
                    .collect()[0])
