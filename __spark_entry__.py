@@ -124,7 +124,7 @@ def q_tdigest_exact_quantiles_orders(spark, sf_dir):
     with a SQL oracle."""
     orders = _t(spark, sf_dir, "orders")
     max_n = orders.groupBy("o_orderpriority").count().agg(
-        F.max("count")).collect()[0][0]
+        F.max("count")).collect()[0][0] or 0   # None on an empty table
     delta = float(2 * max_n + 10)
     dig = tdigest_aggregate(orders, "o_totalprice", ["o_orderpriority"],
                             delta=delta, scale="k0")
@@ -312,10 +312,12 @@ def q_asof_click_purchase(spark, sf_dir):
     j = asof_join(clicks, purchases, ["user_id"], "ts", ["purchase_value"])
     return (j.agg(
         F.count(F.lit(1)).alias("n_clicks"),
-        F.sum(F.col("asof_purchase_value").isNotNull().cast("long"))
+        F.coalesce(F.sum(F.col("asof_purchase_value").isNotNull()
+                         .cast("long")), F.lit(0))
         .cast("long").alias("n_matched"),
-        F.sum(F.coalesce("asof_purchase_value", F.lit(0.0))
-              .cast("decimal(18,6)")).cast("double").alias("sum_matched_value")))
+        F.coalesce(F.sum(F.coalesce("asof_purchase_value", F.lit(0.0))
+                         .cast("decimal(18,6)")).cast("double"), F.lit(0.0))
+        .alias("sum_matched_value")))
 
 
 def q_user_sessions(spark, sf_dir):
@@ -445,7 +447,7 @@ def q_kll_exact_orders(spark, sf_dir):
     from t_digest_spark.sketches.spark import kll_aggregate, kll_quantile_udf
     orders = _t(spark, sf_dir, "orders")
     max_n = orders.groupBy("o_orderpriority").count().agg(
-        F.max("count")).collect()[0][0]
+        F.max("count")).collect()[0][0] or 0   # None on an empty table
     k = int(max_n + 10)
     sk = kll_aggregate(orders, "o_totalprice", ["o_orderpriority"], k=k)
     cols = ("items", "offsets", "kmin", "kmax", "count")
@@ -469,7 +471,8 @@ def q_bloom_orders_custkeys(spark, sf_dir):
                .select("c_custkey"))
     out = bloom_contains(bf, members, "c_custkey")
     return out.agg(F.count(F.lit(1)).alias("n_probed"),
-                   F.sum(F.col("bloom_contains").cast("long")).alias("n_flagged"))
+                   F.coalesce(F.sum(F.col("bloom_contains").cast("long")),
+                              F.lit(0)).alias("n_flagged"))
 
 
 # --------------------------------------- sketch queries with bound contracts
@@ -530,7 +533,11 @@ def _rank_ok(x: F.Column, est_col: str, q: float, bound) -> F.Column:
     pop = F.sum((x.isNotNull() & ~F.isnan(x)).cast("long")).cast("double")
     below = F.sum((x < F.col(est_col)).cast("long")).cast("double") / pop
     lte = F.sum((x <= F.col(est_col)).cast("long")).cast("double") / pop
-    return (below - bound <= F.lit(float(q))) & (F.lit(float(q)) <= lte + bound)
+    ok = (below - bound <= F.lit(float(q))) & (F.lit(float(q)) <= lte + bound)
+    # NULL only when pop == 0 (no valid rows): any quantile contract holds
+    # vacuously on an empty population — an empty-input global aggregate
+    # must not emit a NULL flag
+    return F.coalesce(ok, F.lit(True))
 
 
 def _join_est_nullsafe(raw: DataFrame, est: DataFrame, keys) -> DataFrame:
@@ -712,6 +719,21 @@ def q_source_table_quantiles(spark, sf_dir):
                     "p50_ok", "p99_ok", "total_rows_ok"))
 
 
+def _planted_recall(planted_ids: DataFrame, found_ids: DataFrame,
+                    id_col: str, n_col: str, flag_col: str) -> DataFrame:
+    """Recall contract that is robust to an EMPTY input table: found ids
+    are compared against the ACTUAL planted population instead of a
+    literal 50 — vacuously true when nothing was planted, which matches
+    the oracle (it counts the planted rows it can see). One broadcast
+    left join of the tiny found-id set onto the tiny planted-id set."""
+    hits = planted_ids.join(
+        F.broadcast(found_ids.select(id_col).distinct()
+                    .withColumn("__hit__", F.lit(1))), id_col, "left")
+    n_found = F.coalesce(F.sum("__hit__"), F.lit(0))
+    return hits.agg(n_found.cast("long").alias(n_col),
+                    (F.count(F.lit(1)) == n_found).alias(flag_col))
+
+
 def q_minhash_candidates(spark, sf_dir):
     """Recall contract on planted exact duplicates: a doc and its clone have
     identical minhash signatures, so banded LSH MUST emit every planted pair
@@ -722,9 +744,10 @@ def q_minhash_candidates(spark, sf_dir):
     cands = minhash_lsh_candidates(docs.unionByName(clones),
                                    num_hashes=128, bands=16, n=5)
     planted_found = cands.where(F.col("id_b") == F.col("id_a") + 1_000_000)
-    return planted_found.agg(
-        F.countDistinct("id_a").cast("long").alias("n_planted_found"),
-        (F.countDistinct("id_a") == 50).alias("all_planted_found"))
+    return _planted_recall(docs.where(F.col("doc_id") < 50)
+                           .select(F.col("doc_id").alias("id_a")),
+                           planted_found, "id_a",
+                           "n_planted_found", "all_planted_found")
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -738,9 +761,10 @@ def q_simhash_near_dups(spark, sf_dir):
     pairs = simhash_near_dups(docs.unionByName(clones), max_hamming=3)
     planted = pairs.where((F.col("id_b") == F.col("id_a") + 1_000_000)
                           & (F.col("hamming") == 0))
-    return planted.agg(
-        F.countDistinct("id_a").cast("long").alias("n_planted_found"),
-        (F.countDistinct("id_a") == 50).alias("all_planted_found"))
+    return _planted_recall(docs.where(F.col("doc_id") < 50)
+                           .select(F.col("doc_id").alias("id_a")),
+                           planted, "id_a",
+                           "n_planted_found", "all_planted_found")
 
 
 def q_lsh_topk_recall(spark, sf_dir):
@@ -755,8 +779,10 @@ def q_lsh_topk_recall(spark, sf_dir):
     top1 = approx.where((F.col("query_id") >= 1_000_000) & (F.col("rank") == 1))
     good = top1.where((F.col("corpus_id") == F.col("query_id") - 1_000_000)
                       & (F.col("cosine") >= 0.999999))
-    return good.agg(F.count(F.lit(1)).cast("long").alias("n_clone_top1_correct"),
-                    (F.count(F.lit(1)) == 50).alias("all_clones_matched"))
+    return _planted_recall(emb.where(F.col("vec_id") < 50).select("vec_id"),
+                           good.select((F.col("query_id") - 1_000_000)
+                                       .alias("vec_id")), "vec_id",
+                           "n_clone_top1_correct", "all_clones_matched")
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -768,9 +794,10 @@ def q_embedding_near_dups(spark, sf_dir):
     pairs = embedding_near_dups(emb.unionByName(clones), threshold=0.8,
                                 dim=64)  # auto n_planes
     planted = pairs.where(F.col("id_b") == F.col("id_a") + 1_000_000)
-    return planted.agg(
-        F.countDistinct("id_a").cast("long").alias("n_planted_found"),
-        (F.countDistinct("id_a") == 50).alias("all_planted_found"))
+    return _planted_recall(emb.where(F.col("vec_id") < 50)
+                           .select(F.col("vec_id").alias("id_a")),
+                           planted, "id_a",
+                           "n_planted_found", "all_planted_found")
 
 
 def q_checkpoint_resume(spark, sf_dir):
@@ -921,8 +948,10 @@ def q_ivf_topk_clones(spark, sf_dir):
     top1 = approx.where((F.col("query_id") >= 1_000_000) & (F.col("rank") == 1))
     good = top1.where((F.col("corpus_id") == F.col("query_id") - 1_000_000)
                       & (F.col("cosine") >= 0.999999))
-    return good.agg(F.count(F.lit(1)).cast("long").alias("n_clone_top1_correct"),
-                    (F.count(F.lit(1)) == 50).alias("all_clones_matched"))
+    return _planted_recall(emb.where(F.col("vec_id") < 50).select("vec_id"),
+                           good.select((F.col("query_id") - 1_000_000)
+                                       .alias("vec_id")), "vec_id",
+                           "n_clone_top1_correct", "all_clones_matched")
 
 
 def q_fingerprint_docs(spark, sf_dir):
@@ -953,10 +982,12 @@ def q_fingerprint_docs(spark, sf_dir):
                       & (F.col("o_sha") == F.col("c_sha"))))
     n_texts = docs.select("text").distinct().count()
     distinct_fp = fp.select("fp_full").distinct().count()
-    return matched.agg(
-        F.count(F.lit(1)).cast("long").alias("n_clone_fp_matched"),
-        (F.count(F.lit(1)) == 50).alias("all_clones_matched"),
-        F.lit(distinct_fp == n_texts).alias("fp_collision_free"))
+    rec = _planted_recall(docs.where(F.col("doc_id") < 50)
+                          .select(F.col("doc_id").alias("base_id")),
+                          matched.select("base_id"), "base_id",
+                          "n_clone_fp_matched", "all_clones_matched")
+    return rec.select("n_clone_fp_matched", "all_clones_matched",
+                      F.lit(distinct_fp == n_texts).alias("fp_collision_free"))
 
 
 def q_dedup_pipeline(spark, sf_dir):
@@ -972,9 +1003,10 @@ def q_dedup_pipeline(spark, sf_dir):
     verified = ngram_jaccard_pairs(u, n=5, threshold=0.9, candidates=cands)
     planted = verified.where((F.col("id_b") == F.col("id_a") + 1_000_000)
                              & (F.col("jaccard") >= 0.999999))
-    return planted.agg(
-        F.countDistinct("id_a").cast("long").alias("n_planted_verified"),
-        (F.countDistinct("id_a") == 50).alias("all_planted_verified"))
+    return _planted_recall(docs.where(F.col("doc_id") < 50)
+                           .select(F.col("doc_id").alias("id_a")),
+                           planted, "id_a",
+                           "n_planted_verified", "all_planted_verified")
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1060,8 +1092,13 @@ def q_digest_compare_flags(spark, sf_dir):
     # ~1/32 of one flag's value domain.
     g = (base_g.unionByName(cmp_g).groupBy("cmp", "x")
          .agg(F.sum("nb").alias("nb"), F.sum("no").alias("no")))
-    br = dig.where(F.col("l_returnflag") == "N") \
-        .collect()[0]  # group-count digest rows (1 base row, already tiny)
+    br_rows = dig.where(F.col("l_returnflag") == "N") \
+        .collect()       # group-count digest rows (1 base row, already tiny)
+    if not br_rows:      # empty table: no base flag, nothing to compare
+        return spark.createDataFrame(
+            [], "l_returnflag string, n_rows long, "
+                "ks_close boolean, chi2_ok boolean")
+    br = br_rows[0]
     based = digest_from_cells(br["means"], br["weights"], br["dmin"],
                               br["dmax"], 100.0, "k2")
     bounds = [based.quantile(i / 32.0) for i in range(1, 32)]
@@ -1516,10 +1553,12 @@ def q_decontaminate_docs(spark, sf_dir):
         n_cont.alias("n_contaminated"),
         (n_train - n_cont).alias("n_survivors"),
         # no false negatives: every true match was Bloom-flagged
-        (F.sum((contaminated & ~F.col("bloom_contains")).cast("long")) == 0)
-        .alias("no_false_negatives"),
-        ((n_flag - n_cont) <= F.lit(5.0 * fpp) * n_train + F.lit(5.0))
-        .alias("fp_ok"))
+        F.coalesce(
+            F.sum((contaminated & ~F.col("bloom_contains")).cast("long")) == 0,
+            F.lit(True)).alias("no_false_negatives"),
+        F.coalesce(
+            (n_flag - n_cont) <= F.lit(5.0 * fpp) * n_train + F.lit(5.0),
+            F.lit(True)).alias("fp_ok"))
 
 
 def q_stratified_doc_sample(spark, sf_dir):
@@ -1636,10 +1675,16 @@ def q_theta_user_overlap(spark, sf_dir):
         F.sum(((F.col("c") == 1) & (F.col("p") == 0)).cast("long")).alias("anb"))
         .select(F.expr("stack(3, 'union', u, 'intersect', i, 'a_not_b', anb)")
                 .alias("op", "exact_count")))
-    return (est.join(exact, "op")
-            .select("op", F.col("exact_count").cast("long").alias("exact_count"),
-                    ((F.col("lb") <= F.col("exact_count"))
-                     & (F.col("exact_count") <= F.col("ub"))).alias("theta_ok")))
+    # LEFT join from the exact side: on an EMPTY table the sketch frames
+    # (and so `est`) have no rows at all, while the exact stack still
+    # emits its 3 op rows with NULL counts — a missing sketch means the
+    # empty set, whose bounds are [0, 0]
+    ec = F.coalesce(F.col("exact_count"), F.lit(0)).cast("long")
+    return (exact.join(F.broadcast(est), "op", "left")
+            .select("op", ec.alias("exact_count"),
+                    ((F.coalesce(F.col("lb"), F.lit(0.0)) <= ec)
+                     & (ec <= F.coalesce(F.col("ub"), F.lit(0.0))))
+                    .alias("theta_ok")))
 
 
 def q_frequent_tokens(spark, sf_dir):
@@ -1811,11 +1856,12 @@ def q_countmin_estimation_users(spark, sf_dir):
         .crossJoin(F.broadcast(cm.select(F.col("n").alias("N"))))
     return (est.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("true_n").cast("long").alias("n_events"),
-        F.sum((F.col("cm_estimate") < F.col("true_n")).cast("long"))
+        F.coalesce(F.sum("true_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.sum((F.col("cm_estimate") < F.col("true_n"))
+                         .cast("long")), F.lit(0))
         .cast("long").alias("n_undercounts"),
-        F.sum((F.col("cm_estimate") - F.col("true_n")
-               > 2.0 * F.col("N") / 8).cast("long"))
+        F.coalesce(F.sum((F.col("cm_estimate") - F.col("true_n")
+                          > 2.0 * F.col("N") / 8).cast("long")), F.lit(0))
         .cast("long").alias("n_exceed_bound"))
         .withColumn("is_estimation", F.col("n_users") > F.lit(8)))
 
@@ -2082,7 +2128,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS n_clicks,
                    cast(count(purchase_value) as bigint) AS n_matched,
-                   cast(sum(cast(coalesce(purchase_value, 0.0) as decimal(18,6)))
+                   cast(coalesce(sum(cast(coalesce(purchase_value, 0.0)
+                                          as decimal(18,6))), 0)
                         as double) AS sum_matched_value
             FROM j
         """,
@@ -2215,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            HAVING count(*) > 0
         """,
         "frame_sample": """
             SELECT i AS media_id,
@@ -2298,7 +2346,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) AS n_events,
                    cast(0 as bigint) AS n_undercounts,
                    cast(0 as bigint) AS n_exceed_bound,
-                   true AS is_estimation
+                   count(DISTINCT user_id) > 8 AS is_estimation
             FROM events WHERE user_id IS NOT NULL
         """,
         "req_tail_quantiles": """
@@ -2317,7 +2365,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
             UNION ALL
             SELECT 'ALL', 'ALL', cast(count(DISTINCT user_id) as bigint)
-            FROM events
+            FROM events HAVING count(*) > 0
         """,
         "sampled_user_events": """
             SELECT event_type, cast(count(*) as bigint) AS n_events,
@@ -2410,7 +2458,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type IS NOT NULL GROUP BY event_type
             UNION ALL
             SELECT 'ALL', cast(count(DISTINCT user_id) as bigint), true
-            FROM events WHERE event_type IS NOT NULL
+            FROM events WHERE event_type IS NOT NULL HAVING count(*) > 0
         """,
         "checkpoint_resume": """
             SELECT l_returnflag, count(*) AS n_rows,

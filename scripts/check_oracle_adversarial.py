@@ -197,12 +197,27 @@ def build_adversarial_dir(base_sf: str, dest: str) -> None:
     perturb_lineitem(os.path.join(dest, "lineitem.parquet"))
 
 
+def build_empty_dir(base_sf: str, dest: str) -> None:
+    """ADVERSARIAL_EMPTY=1 variant: every table schema-identical but
+    0 rows — a 100 TB pipeline hits empty filters/partitions routinely,
+    and empty inputs flush out driver-side collect()[0] patterns,
+    divide-by-zero contract arithmetic, and empty streaming staging."""
+    for t in TABLES:
+        src = os.path.join(base_sf, f"{t}.parquet")
+        tb = pq.read_table(src)
+        pq.write_table(tb.slice(0, 0), os.path.join(dest, f"{t}.parquet"))
+
+
 def main():
     base_sf = os.environ.get("ADVERSARIAL_BASE_SF", "/root/testdata/sf0.001")
     only = set(sys.argv[1:])
     dest = tempfile.mkdtemp(prefix="tdigest_adversarial_")
-    build_adversarial_dir(base_sf, dest)
-    print(f"perturbed tables in {dest}")
+    if os.environ.get("ADVERSARIAL_EMPTY") == "1":
+        build_empty_dir(base_sf, dest)
+        print(f"EMPTY tables in {dest}")
+    else:
+        build_adversarial_dir(base_sf, dest)
+        print(f"perturbed tables in {dest}")
 
     import __spark_entry__ as entrymod
     from t_digest_spark.plans import get_spark

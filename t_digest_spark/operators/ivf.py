@@ -97,6 +97,10 @@ def ivf_train(df: DataFrame, k: int, dim: int, vec_col: str = "embedding",
                 .orderBy("__h").limit(k).select("__id"))
     seeds = (base.join(F.broadcast(seed_ids), "__id")
              .select("__v").toPandas()["__v"])
+    if len(seeds) == 0:
+        # empty corpus: a 0-centroid model (ivf_index/ivf_topk short-
+        # circuit to empty results) — np.stack would crash on no arrays
+        return np.zeros((0, dim), dtype=np.float64)
     centroids = np.stack(seeds.to_numpy()).astype(np.float64)[:k]
     for _ in range(iters):
         assigned = base.select(
@@ -133,6 +137,10 @@ def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
     ``df``): candidates are corpus rows in the query's nprobe nearest
     cells, re-ranked by exact vectorized cosine. Candidate volume is
     observable (``n_candidate_pairs``) — no silent caps."""
+    if len(centroids) == 0:
+        # 0-centroid model (trained on an empty corpus): no neighbors
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, rank long, cosine double")
     # Candidate id-pairs stay NARROW through the cell join (same pattern as
     # lsh_topk, similarity.py) — shipping both vectors through the
     # pair-scale shuffle would move 2*dim doubles per candidate. Vectors

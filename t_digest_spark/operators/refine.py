@@ -152,6 +152,8 @@ def refined_exact_quantiles(
             b[f"hi{i}"] = float(d.quantile(min(q + eps, 1.0)))
         brackets[g] = b
 
+    if not brackets:
+        return {}            # empty table: no groups, nothing to refine
     # 2. pass A: slice rank offsets per (group, q) — codegen conditional sums
     x = F.col(value_col)
     agg_cols = []

@@ -202,7 +202,15 @@ def countmin_aggregate(df: DataFrame, key_col: str,
     gb = list(group_cols)
     added = False
     if not gb:
+        # Global-aggregate semantics on EMPTY input: SQL returns one row,
+        # so the global sketch must too — union ONE identity partial
+        # (all-zero counters; merging it is a no-op on non-empty input).
+        # Without it, an empty stream makes the whole aggregate vanish and
+        # countmin_estimate's 1-row collect crashes downstream.
         partials = partials.withColumn(_GLOBAL, F.lit(1))
+        ident = partials.sparkSession.createDataFrame(
+            [CountMinSketch(d, w).to_row() + (1,)], schema=partials.schema)
+        partials = partials.unionByName(ident)
         gb = [_GLOBAL]
         added = True
     out_schema = _group_prefix(partials, gb) + "counts array<long>, d int, w int, n long"
@@ -256,6 +264,12 @@ def bloom_aggregate(df: DataFrame, key_col: str, m_bits: int = 1 << 20,
             yield pd.DataFrame([f.to_row()], columns=["bits", "m", "k", "n"])
 
     partials = proj.mapInPandas(build, schema).withColumn(_GLOBAL, F.lit(1))
+    # identity partial: an empty input still yields one (empty-filter) row
+    # — SQL global-aggregate semantics; contains() is then false for every
+    # key instead of bloom_contains crashing on a 0-row collect
+    ident = partials.sparkSession.createDataFrame(
+        [BloomFilter(m_bits, k).to_row() + (1,)], schema=partials.schema)
+    partials = partials.unionByName(ident)
 
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         f = BloomFilter(m_bits, k)

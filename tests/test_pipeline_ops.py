@@ -828,3 +828,15 @@ def test_bucket_pairs_equals_self_join(spark):
                       _bucket_pairs(b, "vec_id", directed=False).collect()}
     assert agg_undirected == join_undirected
     assert all(a != bb for a, bb in agg_undirected)   # no self-pairs ever
+
+
+def test_ivf_empty_corpus(spark):
+    """ivf_train on an empty corpus returns a 0-centroid model and
+    ivf_topk short-circuits to an empty result instead of crashing."""
+    from t_digest_spark.operators.ivf import ivf_topk, ivf_train
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = ivf_train(empty, k=4, dim=8, iters=1)
+    assert cents.shape == (0, 8)
+    out = ivf_topk(empty, cents, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "corpus_id", "rank", "cosine"}

@@ -387,3 +387,40 @@ def test_theta_binary_op_one_sided_groups(spark):
         est("retained", "theta", "k").alias("e")).collect()
     assert len(guni) == 1
     assert guni[0]["e"] == float(df.select("key").distinct().count())
+
+
+def test_countmin_empty_input_estimates_zero(spark):
+    """SQL global-aggregate semantics: an EMPTY stream still yields one
+    (identity) sketch row, and every key estimates 0 — countmin_estimate
+    must not crash on a 0-row collect."""
+    from t_digest_spark.sketches.spark import countmin_aggregate, countmin_estimate
+    import pyspark.sql.functions as F
+    empty = spark.range(0).select(F.col("id").alias("key"))
+    cm = countmin_aggregate(empty, "key", d=3, w=64)
+    assert cm.count() == 1
+    keys = spark.range(5).select(F.col("id").alias("key"))
+    out = countmin_estimate(cm, keys, "key").collect()
+    assert [r.cm_estimate for r in out] == [0] * 5
+
+
+def test_bloom_empty_input_contains_nothing(spark):
+    """An empty Bloom filter exists (one identity row) and contains no key."""
+    from t_digest_spark.sketches.spark import bloom_aggregate, bloom_contains
+    import pyspark.sql.functions as F
+    empty = spark.range(0).select(F.col("id").alias("key"))
+    bf = bloom_aggregate(empty, "key", m_bits=1 << 12, k=4)
+    assert bf.count() == 1
+    keys = spark.range(5).select(F.col("id").alias("key"))
+    out = bloom_contains(bf, keys, "key").collect()
+    assert all(not r.bloom_contains for r in out)
+
+
+def test_countmin_identity_row_is_merge_noop(spark):
+    """The identity partial must not change non-empty results."""
+    from t_digest_spark.sketches.spark import countmin_aggregate, countmin_estimate
+    import pyspark.sql.functions as F
+    df = spark.range(100).select((F.col("id") % 10).alias("key"))
+    cm = countmin_aggregate(df, "key", d=3, w=1024)
+    keys = spark.range(10).select(F.col("id").alias("key"))
+    out = countmin_estimate(cm, keys, "key").collect()
+    assert [r.cm_estimate for r in out] == [10] * 10
