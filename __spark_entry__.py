@@ -1012,19 +1012,32 @@ def q_dedup_pipeline(spark, sf_dir):
 def q_dedup_components(spark, sf_dir):
     """Transitive near-dup clustering: connected components (large-star /
     small-star contraction, operators/components.py) over a deterministic
-    pair graph on documents — chains of 8 consecutive doc_ids bridged in
-    pairs, so every 16-id block is ONE component with diameter ~15. The
-    oracle is the closed form component = doc_id - doc_id % 16, which the
-    iterative Spark algorithm must reproduce exactly (value-hash compared):
-    per-component size, min-id survivor, exactly one survivor."""
+    pair graph on documents — chains of 8 RANK-consecutive docs bridged in
+    pairs, so every 16-rank block is ONE component with diameter ~15. The
+    oracle is the closed form component = min doc_id per rank-16 block,
+    which the iterative Spark algorithm must reproduce exactly (value-hash
+    compared): per-component size, min-id survivor, exactly one survivor.
+
+    The fixture graph is built on the doc's RANK by doc_id, not the raw id
+    (the adversarial sweep's non-contiguous id space broke the id-arithmetic
+    form: ``d + 1 < count`` edges pointed at ids that never existed). Rank
+    comes from range_partitioned_cumsum — the funnel-free two-pass form —
+    so the construction itself holds at 100 TB; the two edge families are
+    then plain equi-joins on rank."""
     from t_digest_spark.operators.components import dedup_survivors
+    from t_digest_spark.operators.refine import range_partitioned_cumsum
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    d = F.col("doc_id")
-    chain = docs.where((d % 8 != 7) & (d + 1 < n)).select(
-        d.alias("id_a"), (d + 1).alias("id_b"))
-    bridge = docs.where((d % 16 == 0) & (d + 8 < n)).select(
-        d.alias("id_a"), (d + 8).alias("id_b"))
+    rdocs = (range_partitioned_cumsum(
+        docs.withColumn("__one__", F.lit(1)), "doc_id", ["__one__"])
+        .select("doc_id", (F.col("__one___cum") - 1).alias("rn")))
+    a = rdocs.select(F.col("doc_id").alias("id_a"), F.col("rn").alias("ra"))
+    b = rdocs.select(F.col("doc_id").alias("id_b"), F.col("rn").alias("rb"))
+    chain = (a.where(F.col("ra") % 8 != 7)
+             .join(b, F.col("rb") == F.col("ra") + 1)
+             .select("id_a", "id_b"))
+    bridge = (a.where(F.col("ra") % 16 == 0)
+              .join(b, F.col("rb") == F.col("ra") + 8)
+              .select("id_a", "id_b"))
     surv = dedup_survivors(chain.unionByName(bridge), vertices=docs)
     return (surv.groupBy("component")
             .agg(F.count(F.lit(1)).cast("long").alias("size"),
@@ -2501,13 +2514,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 50
         """,
         "dedup_components": """
-            SELECT doc_id - (doc_id % 16) AS component,
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                FROM documents
+            )
+            SELECT min(doc_id) AS component,
                    count(*) AS size,
                    min(doc_id) AS min_doc,
                    CAST(1 AS BIGINT) AS n_survivors,
                    min(doc_id) AS survivor_id
-            FROM documents
-            GROUP BY doc_id - (doc_id % 16)
+            FROM r
+            GROUP BY rn - (rn % 16)
         """,
         "digest_compare_flags": """
             SELECT l_returnflag, count(*) AS n_rows,

@@ -15,9 +15,14 @@ divergence found should become a new injected shape here):
   2. inject, deterministically (fixed arrays, no RNG):
      - events: NULL event_type / user_id / value / props rows, an exact
        duplicate burst (ties in every column but event_id), a hot user
-       with 200 extra events (skew), and +/-1e12 value outliers;
+       with 200 extra events (skew), +/-1e12 value outliers, a NaN value,
+       and +/-inf values (overflow telemetry — sketches must carry
+       infinite extremes without NaN-poisoning or Arrow-null crashes);
      - documents: empty text, whitespace-only text, NULL lang, NULL
-       source, exact-duplicate text pairs (dedup fodder), a 1-char doc;
+       source, exact-duplicate text pairs (dedup fodder), a 1-char doc,
+       and multibyte/non-ASCII docs (CJK, accents, NFD combining marks,
+       astral-plane emoji, RTL Arabic, exotic whitespace) probing every
+       byte-vs-codepoint seam between Spark and the DuckDB oracles;
      - embeddings: an all-zero vector (cosine division hazard), exact
        clone pairs, a NULL label;
      - orders: tie-priced orders, a NULL o_orderpriority;
@@ -102,6 +107,18 @@ def perturb_events(path: str) -> None:
     for i in range(30):
         rows.append(dict(event_id=nid + 600 + i, ts=hot_ts[i], user_id=16,
                          event_type="signup", value=None, props="{}"))
+    # +/-inf values (fourth axis): production telemetry emits inf from
+    # overflow/div-by-zero upstream. Distinct failure mode from both NULL
+    # (inf aggregates) and NaN (inf compares normally): sum/avg go inf on
+    # BOTH engines (must hash equal), quantile sketches must keep +/-inf
+    # as the forced min/max endpoint singletons without NaN-poisoning
+    # interior centroids (inf*w stays inf; the merge sweep never merges
+    # the two ends together), and rank contracts must treat inf as just
+    # the extreme order statistic.
+    rows.append(dict(event_id=nid + 700, ts=t0, user_id=17,
+                     event_type="error", value=float("inf"), props="{}"))
+    rows.append(dict(event_id=nid + 701, ts=t0, user_id=17,
+                     event_type="error", value=float("-inf"), props="{}"))
     _append(path, pd.DataFrame(rows))
 
 
@@ -124,6 +141,24 @@ def perturb_documents(path: str) -> None:
              source="mirror", n_chars=int(base["n_chars"].iloc[0])),
         dict(doc_id=nid + 6, text="x", lang="zh", source="web", n_chars=1),
     ]
+    # Multibyte / non-ASCII shapes (fourth axis): a web-scale corpus is
+    # mostly NOT ASCII. These probe every byte-vs-codepoint seam between
+    # Spark (UTF8String code points, Java regex) and the DuckDB oracles
+    # (UTF-8, RE2): length(), substr/shingles, token regexes, sha2 over
+    # UTF-8 bytes, and the astral plane (surrogate pairs in UTF-16 — a
+    # Java-side length() that counted UTF-16 units would diverge here).
+    uni = [
+        "中文文档测试 数据 去重 索引 分析 中文文档测试 数据",   # CJK, no ASCII spaces inside tokens
+        "café résumé naïve élève café",  # Latin-1 accents
+        "café resumé naive",                       # combining marks (NFD)
+        "\U0001F600 \U0001F680 emoji doc \U0001F600 \U0001D11E",  # astral plane
+        "مرحبا بالعالم rtl text",  # Arabic RTL
+        "tab\tsep nbsp emspace mixed​zwsp",     # exotic whitespace
+    ]
+    for i, tx in enumerate(uni):
+        rows.append(dict(doc_id=nid + 10 + i, text=tx,
+                         lang=("zh" if i == 0 else "en"), source="web",
+                         n_chars=len(tx)))
     _append(path, pd.DataFrame(rows))
 
 

@@ -46,11 +46,20 @@ def digest_schema(group_fields: List[StructField]) -> StructType:
 
 
 def digest_to_cells(d: TDigest) -> tuple:
-    """(means, weights, dmin, dmax, count) cells for one digest row."""
+    """(means, weights, dmin, dmax, count) cells for one digest row.
+
+    The empty digest carries the +inf/-inf min/max SENTINELS — those map
+    to NaN so the cells read as SQL NULL (min over zero rows). The test
+    must be emptiness, NOT finiteness: a digest that really ingested
+    +/-inf points (production telemetry does emit them) has a genuinely
+    infinite extreme, and clamping it to NaN turns into an Arrow null
+    that the JVM kills on reading the non-nullable dmin/dmax fields
+    ("Value at index is null", found by the adversarial inf sweep).
+    """
     d._flush()
-    mn = d.min if math.isfinite(d.min) else math.nan
-    mx = d.max if math.isfinite(d.max) else math.nan
-    return (d.means, d.weights, mn, mx, d.total)
+    if d.total > 0:
+        return (d.means, d.weights, d.min, d.max, d.total)
+    return (d.means, d.weights, math.nan, math.nan, d.total)
 
 
 def digest_from_cells(means, weights, dmin, dmax, delta: float, scale: str) -> TDigest:

@@ -121,6 +121,34 @@ def test_nulls_and_nans_ignored(spark):
     assert row["count"] == pytest.approx(3.0)
 
 
+def test_infinite_values_survive_aggregation(spark):
+    # +/-inf are legal points (production telemetry emits them from upstream
+    # overflow). Regression for the adversarial-inf finding: digest_to_cells
+    # clamped ANY non-finite min/max to NaN (meant for the empty-digest
+    # sentinel), which pandas->Arrow turned into a null in the non-nullable
+    # dmin/dmax fields — "IllegalStateException: Value at index is null" in
+    # the JVM shuffle read. Non-empty digests must carry their real +/-inf
+    # extremes end-to-end.
+    pdf = pd.DataFrame({"x": [float(i) for i in range(1000)]
+                        + [float("inf"), float("-inf")]})
+    dig = tdigest_aggregate(spark.createDataFrame(pdf).repartition(4), "x",
+                            None, delta=200.0)
+    row = dig.collect()[0]
+    assert row["dmin"] == float("-inf") and row["dmax"] == float("inf")
+    assert row["count"] == pytest.approx(1002.0)
+    d = digest_from_cells(row["means"], row["weights"], row["dmin"],
+                          row["dmax"], 200.0, "k2")
+    assert d.quantile(0.0) == float("-inf")
+    assert d.quantile(1.0) == float("inf")
+    # interior quantiles stay finite: the infinite endpoints are forced
+    # singletons, never averaged into interior centroids
+    assert math.isfinite(d.quantile(0.5))
+    # the quantile pandas-UDF path over the digest cells must also survive
+    est = dig.select(quantile_udf(0.5, 200.0)(
+        "means", "weights", "dmin", "dmax").alias("e50")).collect()[0]["e50"]
+    assert abs(est - 499.5) < 25.0
+
+
 def test_query_udfs(spark):
     vals = np.random.default_rng(5).uniform(0, 100, 30_000)
     df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(4)
