@@ -139,10 +139,22 @@ def q_tdigest_exact_quantiles_orders(spark, sf_dir):
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped scan+filter+agg (Catalyst: pushdown, codegen,
-    partial aggregation). Money math in decimal for engine-exact parity."""
+    partial aggregation). Money math in decimal for engine-exact parity.
+
+    Money columns are physically double, so non-finite values CAN arrive
+    (upstream overflow). Decimal money math has no representation for them
+    and the two engines fail differently — Spark's decimal cast silently
+    NULLs an inf (dropping it from the sum), DuckDB's raises — so the
+    domain rule is explicit on both sides: only finite money participates
+    (abs(x) < inf also excludes NaN; NULL excludes itself)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    inf = float("inf")
+    fin = ((F.abs(F.col("l_quantity")) < inf)
+           & (F.abs(F.col("l_extendedprice")) < inf)
+           & (F.abs(F.col("l_discount")) < inf))
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .where(fin)
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
                  F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
@@ -1913,6 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": q_theta_user_overlap,
         "lsh_topk_recall": q_lsh_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        # r4-green; r5 finite-money domain rule added to query AND oracle
+        # (identical on inf-free driver data, but re-check under the new plan)
+        "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
         "theta_estimation_daily": q_theta_estimation_daily,
         "kll_estimation_events": q_kll_estimation_events,
@@ -1935,7 +1950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_digest": q_streaming_windowed_digest,
         "tdigest_meta_by_flag": q_tdigest_meta_by_flag,
         "tdigest_exact_quantiles_orders": q_tdigest_exact_quantiles_orders,
-        "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
         "events_stats_by_type": q_events_stats_by_type,
         "events_top3_per_type": q_events_top3_per_type,
@@ -2022,6 +2036,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= timestamp '1998-09-01'
+              AND abs(l_quantity) < 'inf'::double
+              AND abs(l_extendedprice) < 'inf'::double
+              AND abs(l_discount) < 'inf'::double
             GROUP BY l_returnflag, l_linestatus
         """,
         "top_revenue_nations": """

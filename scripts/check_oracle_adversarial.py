@@ -208,6 +208,22 @@ def perturb_lineitem(path: str) -> None:
              l_tax=0.02, l_returnflag="N", l_linestatus="O", l_shipdate=t0)
         for i in range(5)                     # tie-priced burst, one flag
     ]
+    # +/-inf prices, under DIFFERENT returnflags so no single group sums
+    # +inf with -inf into NaN (both engines would agree on the NaN, but
+    # per-flag +/-inf extremes are the sharper probe: the AVL/merging
+    # digest gates must carry an infinite min or max without NaN-poisoning
+    # interior centroids, and band/range predicates must exclude inf
+    # identically on both engines).
+    rows.append(dict(l_orderkey=nkey + 20, l_partkey=3, l_suppkey=3,
+                     l_linenumber=1, l_quantity=1.0,
+                     l_extendedprice=float("inf"), l_discount=0.0,
+                     l_tax=0.0, l_returnflag="A", l_linestatus="F",
+                     l_shipdate=t0))
+    rows.append(dict(l_orderkey=nkey + 21, l_partkey=3, l_suppkey=3,
+                     l_linenumber=1, l_quantity=1.0,
+                     l_extendedprice=float("-inf"), l_discount=0.0,
+                     l_tax=0.0, l_returnflag="R", l_linestatus="F",
+                     l_shipdate=t0))
     # NULL group key: SQL GROUP BY keeps a NULL l_returnflag group — the
     # contract joins and the exact-quantile refinement must too. Ten rows
     # (orderkeys nkey+1..): enough that the group survives the 1-in-10

@@ -149,6 +149,20 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
     can2[n - 2] = False
     true_idx = np.flatnonzero(can2)
 
+    # Finite/infinite boundary breaks (adversarial-inf axis): a cluster must
+    # never span the -inf prefix -> finite transition or the finite -> +inf
+    # suffix (m is sorted, NaN already rejected). Mixing an infinite point
+    # into a finite cluster makes the weighted mean infinite — IEEE-correct
+    # but it teleports the cluster's finite mass to the extreme, inflating
+    # rank error by the cluster weight. The reference never faces this (its
+    # cdf/quantile reject inf at query time); keeping the infinite atoms in
+    # their own clusters preserves the k-scale rank bound for the finite
+    # mass and represents the atoms exactly. Inf-free inputs: p_neg == 0,
+    # p_pos == n, and neither branch below fires — byte-identical sweep.
+    p_neg = int(np.searchsorted(m, -np.inf, side="right"))
+    p_pos = int(np.searchsorted(m, np.inf, side="left"))
+    has_inf = p_neg > 0 or p_pos < n
+
     seg_m: List[np.ndarray] = []
     seg_w: List[np.ndarray] = []
     s = 0
@@ -171,14 +185,26 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
                 e = 0                      # position 1 starts a cluster
             elif s < n - 1:
                 e = min(e, n - 2)          # position n-1 starts a cluster
+            if has_inf:
+                if s < p_neg:
+                    e = min(e, p_neg - 1)  # -inf cluster stops at the prefix
+                elif s < p_pos:
+                    e = min(e, p_pos - 1)  # finite cluster stops before +inf
             cw = float(cum[e] - c_prev)
             if e == s:
                 cm = float(m[s])
             else:
-                pivot = float(m[s])
-                cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
                 lo, hi = (float(m[s]), float(m[e])) if m[s] <= m[e] else (float(m[e]), float(m[s]))
-                cm = min(max(cm, lo), hi)
+                if lo == hi or not (math.isfinite(lo) and math.isfinite(hi)):
+                    # all-equal cluster (pivoted dot reduces to the pivot —
+                    # bit-identical short-circuit) or an all-infinite one
+                    # (pivoted dot would be inf-inf = NaN)
+                    cm = lo if not math.isfinite(lo) else (
+                        hi if not math.isfinite(hi) else lo)
+                else:
+                    pivot = float(m[s])
+                    cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
+                    cm = min(max(cm, lo), hi)
             seg_m.append(np.array([cm]))
             seg_w.append(np.array([cw]))
             s = e + 1
@@ -196,6 +222,11 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
                 ok[1 - j0] = False
             if j0 <= n - 1 < j1:
                 ok[n - 1 - j0] = False
+            if has_inf:
+                # no cluster spans the -inf/finite or finite/+inf boundary
+                for fb in (p_neg, p_pos):
+                    if 0 < fb < n and j0 <= fb < j1:
+                        ok[fb - j0] = False
             bad = np.argmax(~ok) if not ok.all() else -1
             if bad >= 0:
                 e = j0 + bad - 1
@@ -207,10 +238,23 @@ def merge_arrays(means: np.ndarray, weights: np.ndarray, total: float,
         if e == s:
             cm = float(m[s])
         else:
-            pivot = float(m[s])
-            cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
             lo, hi = (float(m[s]), float(m[e])) if m[s] <= m[e] else (float(m[e]), float(m[s]))
-            cm = min(max(cm, lo), hi)
+            if lo == hi or not (math.isfinite(lo) and math.isfinite(hi)):
+                # All-equal cluster: the pivoted dot reduces to the pivot
+                # exactly, so short-circuiting is bit-identical. Infinite
+                # endpoint: the pivoted form would compute inf-inf = NaN
+                # and NaN-poison the centroid (adversarial-inf axis); the
+                # true weighted mean of a cluster containing an infinite
+                # member IS that infinity. For the pathological cluster
+                # holding BOTH -inf and +inf, take the low side — a
+                # deterministic pick that keeps the means ordered (IEEE
+                # says NaN, which no downstream consumer survives).
+                cm = lo if not math.isfinite(lo) else (
+                    hi if not math.isfinite(hi) else lo)
+            else:
+                pivot = float(m[s])
+                cm = pivot + float(np.dot(w[s:e + 1], m[s:e + 1] - pivot)) / cw
+                cm = min(max(cm, lo), hi)
         seg_m.append(np.array([cm]))
         seg_w.append(np.array([cw]))
         s = e + 1
@@ -456,11 +500,19 @@ class TDigest:
         if index < 1:
             return self.min
         if weight[0] > 1 and index < weight[0] / 2:
-            # one sample sits exactly at min (MergingDigest.java:727-731)
+            # one sample sits exactly at min (MergingDigest.java:727-731).
+            # Infinite first centroid (digest ingested -inf; adversarial-inf
+            # axis): mean[0]-min is -inf - -inf = NaN — every sample in the
+            # cluster IS -inf, so the quantile is -inf, no interpolation.
+            if not math.isfinite(float(mean[0]) - self.min):
+                return float(mean[0]) if math.isfinite(self.min) else self.min
             return self.min + (index - 1) / (weight[0] / 2 - 1) * (mean[0] - self.min)
         if index > total - 1:
             return self.max
         if weight[n - 1] > 1 and total - index <= weight[n - 1] / 2:
+            # symmetric +inf guard: max - mean[n-1] is inf - inf = NaN
+            if not math.isfinite(self.max - float(mean[n - 1])):
+                return float(mean[n - 1]) if math.isfinite(self.max) else self.max
             return self.max - (total - index - 1) / (weight[n - 1] / 2 - 1) * (self.max - mean[n - 1])
 
         # interior: cumulative midpoints bracket the index
@@ -480,10 +532,22 @@ class TDigest:
                     right_unit = 0.5
                 z1 = index - w_so_far - left_unit
                 z2 = w_so_far + dw - index - right_unit
-                return _weighted_average(float(mean[i]), z2, float(mean[i + 1]), z1)
+                mi, mj = float(mean[i]), float(mean[i + 1])
+                if not (math.isfinite(mi) and math.isfinite(mj)):
+                    # Infinite bracket endpoint (ingested +/-inf): the gap
+                    # has no interpolable geometry, and a weighted average
+                    # with an infinity would teleport the WHOLE gap to the
+                    # extreme (or NaN at a zero weight). Step at the
+                    # half-weight boundary instead: q inside the left
+                    # centroid's half of the gap belongs to its samples.
+                    return mi if index - w_so_far < weight[i] / 2 else mj
+                return _weighted_average(mi, z2, mj, z1)
             w_so_far += dw
         z1 = index - total - weight[n - 1] / 2.0
         z2 = weight[n - 1] / 2 - z1
+        if not math.isfinite(self.max - float(mean[n - 1])):
+            # +inf last centroid: every sample there IS self.max (= inf)
+            return float(mean[n - 1]) if math.isfinite(self.max) else self.max
         return _weighted_average(float(mean[n - 1]), z1, self.max, z2)
 
     def quantiles(self, qs: Sequence[float]) -> np.ndarray:
@@ -515,6 +579,11 @@ class TDigest:
             if mean[0] - self.min > 0:
                 if x == self.min:
                     return 0.5 / total
+                if not math.isfinite(self.min):
+                    # -inf min with a finite first centroid (serde-restored
+                    # shape): (x-min)/(mean[0]-min) is inf/inf = NaN. Take
+                    # the min->-inf limit of the reference formula, w0/2.
+                    return (weight[0] / 2) / total
                 return (1 + (x - self.min) / (mean[0] - self.min) * (weight[0] / 2 - 1)) / total
             return 0.0
         # right tail
@@ -522,6 +591,9 @@ class TDigest:
             if self.max - mean[n - 1] > 0:
                 if x == self.max:
                     return 1 - 0.5 / total
+                if not math.isfinite(self.max):
+                    # +inf max, finite last centroid: max->inf limit
+                    return 1 - (weight[n - 1] / 2) / total
                 dq = (1 + (self.max - x) / (self.max - mean[n - 1]) * (weight[n - 1] / 2 - 1)) / total
                 return 1 - dq
             return 1.0
@@ -536,6 +608,24 @@ class TDigest:
                 return (weight_so_far + dw / 2) / total
             if mean[it] <= x < mean[it + 1]:
                 if mean[it + 1] - mean[it] > 0:
+                    if not (math.isfinite(float(mean[it]))
+                            and math.isfinite(float(mean[it + 1]))):
+                        # Infinite bracket endpoint (digest ingested +/-inf):
+                        # (x-left)/(right-left) is NaN for a -inf left, and
+                        # the gap has no interpolable geometry anyway — step
+                        # semantics. A -inf atom's mass is wholly below any
+                        # finite x; a +inf atom's wholly above; a finite
+                        # singleton (exact sample, and mean[it] < x here —
+                        # equality was consumed above) is below; a finite
+                        # centroid keeps the half-weight convention.
+                        below = weight_so_far
+                        if mean[it] == -math.inf:
+                            below += weight[it]
+                        elif weight[it] == 1:
+                            below += 1.0
+                        else:
+                            below += weight[it] / 2
+                        return below / total
                     left_excl = 0.0
                     right_excl = 0.0
                     if weight[it] == 1:
@@ -578,7 +668,12 @@ class TDigest:
         tw = float(overlap.sum())
         if tw <= 0:
             return self.quantile((lo + hi) / 2)
-        return float(np.dot(self.means, overlap) / tw)
+        # mask zero-overlap centroids before the dot product: an infinite
+        # atom OUTSIDE [lo, hi] must not contribute, but inf * 0.0 = NaN
+        # would poison the sum (adversarial-inf finding). An infinite atom
+        # WITH overlap legitimately makes the trimmed mean +/-inf.
+        inc = overlap > 0
+        return float(np.dot(self.means[inc], overlap[inc]) / tw)
 
     def check_weights(self) -> int:
         """Reference invariant: no centroid spans more than one k-unit (hard fail

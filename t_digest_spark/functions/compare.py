@@ -54,6 +54,26 @@ def llr(count: np.ndarray) -> float:
     return 2 * (h - hr - hc)
 
 
+def _cdf_ext(d: TDigest, x: float) -> float:
+    """cdf extended to non-finite x: the digest's cdf rejects +/-inf
+    exactly like the reference (MergingDigest.cdf "Invalid value"), but a
+    digest that INGESTED +/-inf points has infinite centroid means, and the
+    comparison scans land on them. At an infinite atom the mid-rank value
+    (Dist.cdf convention: (less + equal/2) / n) is computed directly from
+    the centroid arrays; finite x passes through unchanged."""
+    if math.isfinite(x):
+        return d.cdf(x)
+    w = np.asarray(d.weights, dtype=np.float64)
+    m = np.asarray(d.means, dtype=np.float64)
+    if x > 0:
+        eq = float(w[np.isposinf(m)].sum())
+        less = d.count - eq
+    else:
+        eq = float(w[np.isneginf(m)].sum())
+        less = 0.0
+    return (less + 0.5 * eq) / d.count
+
+
 def compare_chi2_digests(d1: TDigest, d2: TDigest,
                          q_cuts: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9)) -> float:
     """Chi^2-style divergence score: d1's quantile cuts define the bins; d2's
@@ -70,7 +90,7 @@ def compare_chi2_digests(d1: TDigest, d2: TDigest,
             new_q = q_cuts[i]
             x = d1.quantile(new_q)
         counts[0][i] = d1.count * (new_q - old_q)
-        q2 = d2.cdf(x)
+        q2 = _cdf_ext(d2, x)   # x can be +/-inf when a digest ingested inf
         counts[1][i] = d2.count * (q2 - old_q2)
         old_q = new_q
         old_q2 = q2
@@ -95,9 +115,25 @@ def ks_digests(d1: TDigest, d2: TDigest) -> float:
         return float("nan")
     grid = np.unique(np.concatenate([
         [d1.min], d1.means, [d2.min], d2.means]))
+    finite = grid[np.isfinite(grid)]
+    probes = [float(x) for x in finite]
+    if finite.size < grid.size:
+        # Infinite atoms (+/-inf ingested): cdf rejects non-finite x — the
+        # reference's ks scan would throw here too — so the sup is probed
+        # at finite points strictly OUTSIDE the finite support instead.
+        # Between the -inf atom and the first finite atom, F(x) equals the
+        # full -inf atom mass / n, and above the last finite atom it equals
+        # 1 - (+inf atom mass)/n — exactly the values where the infinite
+        # atoms' mass difference peaks. On inf-free digests the grid is
+        # unchanged, bit-identical to the reference scan.
+        if finite.size:
+            probes.append(float(finite[0]) - 1.0)
+            probes.append(float(finite[-1]) + 1.0)
+        else:
+            probes.append(0.0)    # all mass at +/-inf: one interior probe
     diff = 0.0
-    for x in grid:
-        diff = max(diff, abs(d1.cdf(float(x)) - d2.cdf(float(x))))
+    for x in probes:
+        diff = max(diff, abs(d1.cdf(x) - d2.cdf(x)))
     n1, n2 = d1.count, d2.count
     return diff * math.sqrt(n1 * n2 / (n1 + n2))
 

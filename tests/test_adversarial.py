@@ -239,3 +239,82 @@ def test_extreme_magnitude_merge():
     assert np.isfinite(m.means).all()
     assert m.count == 2000
     assert m.min == -_INFTY and m.max == _INFTY
+
+
+def test_true_infinity_every_quantile_kernel():
+    """+/-inf POINTS (not near-max magnitudes) through every quantile
+    kernel: the endpoint stays a forced singleton carrying the literal
+    infinity, interior quantiles stay finite, and serde round-trips the
+    infinite extremes. Production telemetry emits inf from upstream
+    overflow; the adversarial sweep covers the Spark paths (t-digest over
+    events and lineitem), this pins the kernels themselves."""
+    vals = np.concatenate([np.arange(1000.0), [np.inf, -np.inf]])
+
+    d = TDigest.from_values(vals)
+    assert d.quantile(0.0) == -np.inf and d.quantile(1.0) == np.inf
+    assert np.isfinite(d.quantile(0.5))
+    from t_digest_spark.serde import digest_to_cells, digest_from_cells
+    cells = digest_to_cells(d)
+    assert cells[2] == -np.inf and cells[3] == np.inf   # NOT NaN-clamped
+    d2 = digest_from_cells(cells[0], cells[1], cells[2], cells[3], 100.0, "k2")
+    assert d2.quantile(1.0) == np.inf
+    # the empty digest still maps its sentinels to NaN (reads as SQL NULL)
+    ec = digest_to_cells(TDigest())
+    assert np.isnan(ec[2]) and np.isnan(ec[3]) and ec[4] == 0.0
+
+    from t_digest_spark.avl import AVLTreeDigest
+    a = AVLTreeDigest(delta=100.0)
+    for v in vals:
+        a.add(v)
+    assert a.quantile(0.0) == -np.inf and a.quantile(1.0) == np.inf
+    assert np.isfinite(a.quantile(0.5))
+
+    from t_digest_spark.sketches.kll import KllSketch
+    k = KllSketch(k=200)
+    k.update_values(vals)
+    assert k.quantile(0.0) == -np.inf and k.quantile(1.0) == np.inf
+    assert np.isfinite(k.quantile(0.5))
+    assert KllSketch.from_bytes(k.to_bytes()).quantile(1.0) == np.inf
+
+    from t_digest_spark.sketches.req import ReqSketch
+    r = ReqSketch(k=12)
+    for v in vals:
+        r.update(v)
+    assert r.quantile(0.0) == -np.inf and r.quantile(1.0) == np.inf
+    assert np.isfinite(r.quantile(0.5))
+
+
+def test_heavy_infinite_clusters_cdf_quantile():
+    """MERGED +/-inf clusters (weight > 1 at an infinite mean) through
+    cdf/quantile: the single-atom test above can't reach the interpolation
+    brackets whose endpoint is an infinite CLUSTER — (x-left)/(right-left)
+    was NaN for a -inf left, and the first/last-centroid interpolations
+    computed inf-inf. Step semantics now: a -inf cluster's mass is wholly
+    below any finite x, a +inf cluster's wholly above, and quantiles inside
+    an infinite cluster's own mass return the literal infinity."""
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0.0, 100.0, 4000)
+    a = TDigest.from_values(np.concatenate([base, [np.inf] * 400]))
+    c = TDigest.from_values(np.concatenate([base, [-np.inf] * 400]))
+
+    # exact atom-mass values at probes outside the finite support
+    assert c.cdf(-1.0) == pytest.approx(400 / 4400)
+    assert a.cdf(150.0) == pytest.approx(4000 / 4400, abs=0.01)
+    # quantile inside the atom's mass is the literal infinity; interior finite
+    assert a.quantile(0.99) == np.inf and np.isfinite(a.quantile(0.5))
+    assert c.quantile(0.01) == -np.inf and np.isfinite(c.quantile(0.5))
+
+    # no NaNs, monotone everywhere
+    qs = np.linspace(0.0, 1.0, 101)
+    for d in (a, c):
+        qv = [d.quantile(float(q)) for q in qs]
+        assert not any(math.isnan(v) for v in qv)
+        assert all(u <= v for u, v in zip(qv[:-1], qv[1:]))
+        cv = [d.cdf(float(x)) for x in np.linspace(-5.0, 110.0, 300)]
+        assert not any(math.isnan(v) for v in cv)
+        assert all(u <= v + 1e-12 for u, v in zip(cv[:-1], cv[1:]))
+
+    # all mass infinite: cdf at any finite x = the -inf fraction
+    d = TDigest.from_values(np.array([np.inf, np.inf, -np.inf]))
+    assert d.cdf(0.0) == pytest.approx(1 / 3)
+    assert d.quantile(0.1) == -np.inf and d.quantile(0.9) == np.inf

@@ -70,6 +70,50 @@ def test_ks_empty_nan():
     assert math.isnan(ks_digests(a, b))
 
 
+def test_ks_and_chi2_with_infinite_atoms():
+    """Digests that ingested +/-inf points (adversarial-inf axis): the scan
+    grid must skip the infinite means (cdf rejects them, reference parity)
+    and probe outside the finite support instead, capturing the infinite
+    atoms' mass difference; chi2's cdf-at-quantile-cut path goes through
+    the mid-rank extension. On inf-free digests both are unchanged."""
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0.0, 100.0, 4000)
+    a = TDigest.from_values(np.concatenate([base, [np.inf] * 400]))
+    b = TDigest.from_values(base)
+    ks = ks_digests(a, b)
+    assert math.isfinite(ks) and ks > 0
+    # the +inf atom holds ~400/4400 of a's mass; at x just above the finite
+    # support |Fa - Fb| = that atom mass (Fb = 1 there). Normalized by
+    # sqrt(n1*n2/(n1+n2)).
+    expect = (400 / 4400) * math.sqrt(4400 * 4000 / 8400)
+    assert ks == pytest.approx(expect, rel=0.10)   # digest interpolation slack
+    chi2 = compare_chi2_digests(a, b)
+    assert math.isfinite(chi2) and chi2 >= 0
+    # symmetric probe: -inf atoms, and both-sides-infinite
+    c = TDigest.from_values(np.concatenate([base, [-np.inf] * 400]))
+    assert math.isfinite(ks_digests(c, b))
+    assert math.isfinite(ks_digests(a, c))
+    # all mass infinite on one side
+    d = TDigest.from_values(np.array([np.inf, np.inf, -np.inf]))
+    assert math.isfinite(ks_digests(d, b))
+
+
+def test_trimmed_mean_with_infinite_atom():
+    """An infinite atom OUTSIDE [lo, hi] must not poison the trimmed mean
+    (inf * 0-overlap = NaN before the fix); one WITH overlap legitimately
+    makes it infinite."""
+    rng = np.random.default_rng(3)
+    v = rng.uniform(900.0, 100000.0, 1500)
+    d = TDigest.from_values(np.concatenate([v, [np.inf]]))
+    tm = d.trimmed_mean(0.25, 0.75)
+    srt = np.sort(v)
+    exact = srt[int(0.25 * srt.size):int(0.75 * srt.size)].mean()
+    assert tm == pytest.approx(exact, rel=0.02)
+    heavy = TDigest.from_values(
+        np.concatenate([np.arange(10.0), [np.inf] * 20]))
+    assert heavy.trimmed_mean(0.25, 0.75) == np.inf
+
+
 @pytest.fixture(scope="module")
 def spark():
     from t_digest_spark.plans import get_spark
