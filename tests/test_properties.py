@@ -145,3 +145,66 @@ def test_req_datasketches_serde_identity(vals):
 def test_fast_asin_error_bound_everywhere(x):
     from t_digest_spark.scales import fast_asin
     assert abs(fast_asin(x) - math.asin(x)) < 1e-6
+
+
+# values that MAY include +/-inf atoms (adversarial-inf axis): the merge
+# sweep must keep infinite atoms in pure clusters, and every query kernel
+# must stay NaN-free and monotone no matter where the infinities land.
+inf_mixed = st.lists(
+    st.one_of(finite,
+              st.sampled_from([math.inf, -math.inf])),
+    min_size=1, max_size=400)
+
+
+@settings(max_examples=60, deadline=None)
+@given(inf_mixed)
+def test_digest_invariants_with_infinite_atoms(vals):
+    d = TDigest.from_values(np.asarray(vals))
+    assert d.count == len(vals)
+    assert d.min == min(vals) and d.max == max(vals)
+    n_pos = sum(1 for v in vals if v == math.inf)
+    n_neg = sum(1 for v in vals if v == -math.inf)
+    # infinite clusters are PURE: their weight equals the atom multiplicity,
+    # and no finite cluster absorbed an infinity (means NaN-free)
+    assert not np.isnan(d.means).any()
+    assert float(d.weights[np.isposinf(d.means)].sum()) == n_pos
+    assert float(d.weights[np.isneginf(d.means)].sum()) == n_neg
+    # quantile: NaN-free, monotone, endpoints exact
+    qs = [d.quantile(q) for q in (0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)]
+    assert not any(math.isnan(v) for v in qs)
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
+    assert qs[0] == min(vals) and qs[-1] == max(vals)
+    # cdf: NaN-free, monotone, in [0,1], and the atom masses are exact at
+    # probes outside the finite support
+    fin = [v for v in vals if math.isfinite(v)]
+    lo = min(fin) - 1.0 if fin else 0.0
+    hi = max(fin) + 1.0 if fin else 0.0
+    xs = sorted({lo, hi, *(float(v) for v in fin[:20])})
+    cs = [d.cdf(x) for x in xs]
+    assert not any(math.isnan(c) for c in cs)
+    assert all(0.0 <= c <= 1.0 for c in cs)
+    assert all(b >= a - 1e-12 for a, b in zip(cs, cs[1:]))
+    n = len(vals)
+    assert d.cdf(lo) == (n_neg + (0.5 if not fin and n_neg else 0.0)) / n \
+        or abs(d.cdf(lo) - n_neg / n) <= 0.5 / n + 1e-12
+    assert abs(d.cdf(hi) - (n - n_pos) / n) <= 0.5 / n + 1e-12
+    # serde round-trips the infinite extremes exactly
+    d2 = TDigest.from_bytes(d.to_bytes())
+    np.testing.assert_array_equal(d2.means, d.means)
+    assert d2.min == d.min and d2.max == d.max
+
+
+@settings(max_examples=30, deadline=None)
+@given(inf_mixed, inf_mixed)
+def test_digest_merge_with_infinite_atoms(a, b):
+    da = TDigest.from_values(np.asarray(a))
+    db = TDigest.from_values(np.asarray(b))
+    m = TDigest.merge_all([da, db])
+    vals = a + b
+    assert m.count == len(vals)
+    assert m.min == min(vals) and m.max == max(vals)
+    assert not np.isnan(m.means).any()
+    n_pos = sum(1 for v in vals if v == math.inf)
+    n_neg = sum(1 for v in vals if v == -math.inf)
+    assert float(m.weights[np.isposinf(m.means)].sum()) == n_pos
+    assert float(m.weights[np.isneginf(m.means)].sum()) == n_neg
