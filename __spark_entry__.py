@@ -1361,7 +1361,10 @@ def q_streaming_windowed_digest(spark, sf_dir):
     chunks are time-partitioned, every window's data is complete before its
     state can expire, so the last update-mode emission per key carries
     EXACT counts — SQL-checkable against date_trunc buckets — and the
-    windowed p50 mid-rank must stay in the digest envelope."""
+    windowed p50 mid-rank must stay in the digest envelope. Epoch floor:
+    Spark's watermark initializes at 0, so day windows ending at or before
+    1970-01-01 drop as late in their first micro-batch; the batch contract
+    legs and the oracle carry the same predicate."""
     import tempfile
     from pyspark.sql.window import Window
     from t_digest_spark.streaming import (tdigest_stream_aggregate,
@@ -1406,8 +1409,16 @@ def q_streaming_windowed_digest(spark, sf_dir):
         quantile_udf(0.5)(*_D).alias("e50")))
     x = F.col("value")
     n = F.count(F.lit(1))
-    batch = ev.withColumn("win_day", F.date_format(F.date_trunc("day", "ts"),
-                                                   "yyyy-MM-dd"))
+    # Spark's streaming watermark initializes at epoch 0, so the first
+    # micro-batch drops any row whose day window ends at or before
+    # 1970-01-01 as "late" — pre-epoch event time silently vanishes from
+    # EVERY watermarked streaming aggregate (engine semantics, not ours).
+    # The batch-side contract legs and the oracle state the same floor so
+    # the gate pins the behavior instead of hiding it.
+    batch = (ev.where(F.date_trunc("day", "ts") >= F.lit("1970-01-01")
+                      .cast("timestamp"))
+             .withColumn("win_day", F.date_format(F.date_trunc("day", "ts"),
+                                                  "yyyy-MM-dd")))
     # granularity-aware bound: per-(day, type) groups are small, so even
     # an EXACT median's rank is up to ~1/n off 0.5; the tie term covers
     # interpolation across plateaus (q_time_rollup_digests' note)
@@ -1432,7 +1443,9 @@ def q_streaming_distinct_users(spark, sf_dir):
     dropDuplicates' unbounded key log. Chunks replay time-ordered (same
     Spark-side staging pattern as the windowed digest), so the last
     update-mode emission per key covers the whole window; at test SFs the
-    sketch is in exact mode, making the distinct counts SQL-exact."""
+    sketch is in exact mode, making the distinct counts SQL-exact. Epoch
+    floor: pre-1970 day windows drop against Spark's zero-initialized
+    watermark (the oracle states the same predicate)."""
     import tempfile
     from pyspark.sql.window import Window
     from t_digest_spark.sketches.theta import THETA_MAX
@@ -2555,17 +2568,24 @@ def oracle_sql() -> dict[str, str]:
                    true AS p50_ok, true AS p99_ok
             FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY event_type
         """,
+        # Both streaming oracles carry Spark's watermark epoch floor: the
+        # streaming watermark initializes at 0, so day windows ending at or
+        # before 1970-01-01 are dropped as late in the first micro-batch.
         "streaming_distinct_users": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
                    event_type,
                    cast(count(DISTINCT user_id) as bigint) AS distinct_users,
                    true AS exact_mode
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE date_trunc('day', ts) >= TIMESTAMP '1970-01-01'
+            GROUP BY 1, 2
         """,
         "streaming_windowed_digest": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_day,
                    event_type, count(value) AS n_events, true AS p50_ok
-            FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+              AND date_trunc('day', ts) >= TIMESTAMP '1970-01-01'
+            GROUP BY 1, 2
         """,
         "multimodal_features": """
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,

@@ -119,6 +119,30 @@ def perturb_events(path: str) -> None:
                      event_type="error", value=float("inf"), props="{}"))
     rows.append(dict(event_id=nid + 701, ts=t0, user_id=17,
                      event_type="error", value=float("-inf"), props="{}"))
+    # timestamp axis (fifth): production event time is not confined to the
+    # generator's tidy window. Pre-1970 (negative epoch — calendar-based
+    # date_trunc must not suffer integer-division truncation-toward-zero),
+    # epoch 0 and epoch -1us (the sign boundary), day-boundary microsecond
+    # ties (23:59:59.999999 vs 00:00:00.000000 must truncate to DIFFERENT
+    # days on both engines), and far past/future (1950/2200, inside the
+    # pandas ns range so Arrow round-trips). The streaming gates replay
+    # time-ordered chunks, so the extremes also pin watermark behavior:
+    # Spark's watermark initializes at epoch 0, so the 1950 and
+    # 1969-12-31 rows (day windows ending <= 1970-01-01) are dropped as
+    # late in their FIRST micro-batch — this sweep caught that, and the
+    # gates + oracles now state the epoch floor explicitly; the 2200 row
+    # lands in the last batch (nothing after it to drop).
+    ts_probes = [
+        pd.Timestamp("1950-06-15 12:00:00"),
+        pd.Timestamp("1970-01-01 00:00:00"),
+        pd.Timestamp("1969-12-31 23:59:59.999999"),
+        pd.Timestamp("2024-02-29 23:59:59.999999"),   # leap-day boundary
+        pd.Timestamp("2024-03-01 00:00:00"),
+        pd.Timestamp("2200-01-01 00:00:00"),
+    ]
+    for i, tp in enumerate(ts_probes):
+        rows.append(dict(event_id=nid + 800 + i, ts=tp, user_id=18,
+                         event_type="click", value=5.0 + i, props="{}"))
     _append(path, pd.DataFrame(rows))
 
 

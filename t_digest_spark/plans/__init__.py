@@ -31,6 +31,13 @@ def get_spark(app_name: str = "t-digest-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Pin event-time semantics to UTC: Spark timestamps are instants
+        # truncated/formatted in the SESSION timezone (default: JVM system
+        # TZ), so date_trunc/window/CAST-to-date results silently shift on
+        # a cluster whose nodes run non-UTC — and diverge from the naive-
+        # timestamp oracles. This sandbox happens to be UTC; production
+        # clusters are not guaranteed to be.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
