@@ -353,7 +353,13 @@ def q_json_props_stats(spark, sf_dir):
     sidecar columns): get_json_object stays in whole-stage codegen —
     extraction + aggregation in one JVM pass, value-exact vs the oracle."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # RAISES on the first garbage sidecar value ('{"k":"abc"}', truncated
+    # writes) — a production JSON column always carries some. try_cast
+    # NULLs non-integral extractions ('1.7', 'true', nested, > int64);
+    # the oracle restates exactly that (json_valid guard + integral regex
+    # + TRY_CAST — DuckDB's bare TRY_CAST would ROUND '1.7' to 2).
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1757,10 +1763,12 @@ def q_theta_estimation_daily(spark, sf_dir):
     theta < 1 and the sketch is genuinely sampling — the regime a 100 TB
     deployment runs in, unlike the exact-mode gates where distinct < k.
     Bottom-k union is exactly order-insensitive, so the estimate is a pure
-    function of the table: the is_estimation flag and the 3-sigma bound
-    contract (lb <= exact <= ub, RSE ~ 1/sqrt(k-1) ~ 12.6%) are
-    deterministic booleans the oracle pins to TRUE. Exact tuple counts
-    compute in the same job (one groupBy, no extra scan).
+    function of the table: is_estimation is the sketch's own transition
+    (distinct > k — the oracle computes the same predicate per group, so
+    a small adversarial group that legitimately stays exact matches), and
+    the 3-sigma bound contract (lb <= exact <= ub, RSE ~ 1/sqrt(k-1)
+    ~ 12.6%; lb = ub = exact in exact mode) the oracle pins TRUE. Exact
+    tuple counts compute in the same job (one groupBy, no extra scan).
 
     Reference anchor: theta bounds per DataSketches
     ThetaSketch.getLowerBound/getUpperBound semantics."""
@@ -1799,7 +1807,9 @@ def q_kll_estimation_events(spark, sf_dir):
     """ESTIMATION-regime KLL gate (VERDICT r4 #3): k=16 forces compaction
     at every test SF (n >= ~190 per type at sf0.001 vs capacity ~48), so
     the gate exercises the lossy level-coin path, not exact order stats.
-    The `compacted` flag (retained < n) pins the regime in the hash; the
+    The `compaction_ok` flag (n >= 128 implies retained < n — see the
+    inline note on why the raw compacted bit is partitioning-dependent
+    below 128) pins the regime in the hash; the
     rank contract allows 2x the published normalized rank error
     (2.446/k^0.9433 ~ 17.9% at k=16, KllDoublesSketch pmf convention —
     datasketches KllDoublesSketch.getNormalizedRankError) to cover the
@@ -1812,8 +1822,15 @@ def q_kll_estimation_events(spark, sf_dir):
           .where(F.col("event_type").isNotNull()))
     sk = kll_aggregate(ev, "value", ["event_type"], k=16)
     cols = ("items", "offsets", "kmin", "kmax", "count")
+    # compaction_ok states the claim that IS a pure function of the table:
+    # n >= 128 forces compaction under ANY partitioning (merged k=16
+    # retained <= ~3k = 48 < 128). Below 128 whether the sketch compacted
+    # depends on how rows split across partitions (a 10-row group in one
+    # partition stays exact; split across 4 it may not), so a hardcoded
+    # per-group `compacted=true` breaks on small adversarial groups.
     est = sk.select("event_type",
-                    (F.size("items") < F.col("count")).alias("compacted"),
+                    ((F.size("items") < F.col("count"))
+                     | (F.col("count") < 128)).alias("compaction_ok"),
                     kll_quantile_udf(0.5, k=16)(*cols).alias("e50"),
                     kll_quantile_udf(0.9, k=16)(*cols).alias("e90"))
     bound = 2 * 2.446 / 16 ** 0.9433
@@ -1822,7 +1839,7 @@ def q_kll_estimation_events(spark, sf_dir):
     return (_join_est_nullsafe(ev, est, "event_type")
             .groupBy("event_type")
             .agg(n.cast("long").alias("n"),
-                 F.first("compacted").alias("compacted"),
+                 F.first("compaction_ok").alias("compaction_ok"),
                  _rank_ok(x, "e50", 0.5, bound).alias("p50_ok"),
                  _rank_ok(x, "e90", 0.9, bound).alias("p90_ok")))
 
@@ -1835,10 +1852,13 @@ def q_hll_estimation_daily(spark, sf_dir):
     regime a 100 TB deployment runs in, unlike the lgk=12 exact-mode gate
     (`hll_distinct_users`, distinct << registers). HLL registers are
     order-insensitive maxima, so the estimate is a pure function of the
-    distinct set: the is_estimation flag (exact > 64) and the 3-sigma
-    relative-error contract (|est-exact|/exact <= 3*1.04/sqrt(2^lgk) =
-    0.39; measured max across SFs 0.243) are deterministic booleans the
-    oracle pins TRUE. Exact counts compute in the same aggregate.
+    distinct set: the is_estimation flag (exact > 64 — the oracle computes
+    the SAME predicate per group, so a small adversarial group that stays
+    in the sparse/exact regime matches) and the 3-sigma relative-error
+    contract (|est-exact|/exact <= 3*1.04/sqrt(2^lgk) = 0.39; measured max
+    across SFs 0.243; exact at tiny n where the coupon list is lossless)
+    are deterministic booleans. Exact counts compute in the same
+    aggregate.
 
     Reference anchor: DataSketches HllSketch RSE = 1.04/sqrt(k)
     (Spark's hll_sketch_agg wraps the same library)."""
@@ -1925,6 +1945,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (plus any new queries) lead this round.
     return {
         # --- (a) modified AFTER their last driver check ---
+        # late-r5 rewrites (sixth adversarial axis): honest estimation-
+        # regime flags, ANSI-safe JSON extraction, streaming epoch floor
+        "json_props_stats": q_json_props_stats,
+        "streaming_distinct_users": q_streaming_distinct_users,
+        "streaming_windowed_digest": q_streaming_windowed_digest,
+        "theta_estimation_daily": q_theta_estimation_daily,
+        "kll_estimation_events": q_kll_estimation_events,
+        "hll_estimation_daily": q_hll_estimation_daily,
         "digest_compare_flags": q_digest_compare_flags,   # r3-green, r4 rewrite
         "ivf_topk_clones": q_ivf_topk_clones,             # r3-green, r4 rewrite
         "avl_price_quantiles": q_avl_price_quantiles,     # r4-green; r5 native
@@ -1942,9 +1970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (identical on inf-free driver data, but re-check under the new plan)
         "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
-        "theta_estimation_daily": q_theta_estimation_daily,
-        "kll_estimation_events": q_kll_estimation_events,
-        "hll_estimation_daily": q_hll_estimation_daily,
         "countmin_estimation_users": q_countmin_estimation_users,
         # --- (c) r3-green but dropped by the r4 50-query cap ---
         "dedup_components": q_dedup_components,
@@ -1954,13 +1979,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_events_quantiles": q_kll_events_quantiles,
         "weighted_digest_orders": q_weighted_digest_orders,
         # --- (d) r4-green bulk ---
-        "streaming_distinct_users": q_streaming_distinct_users,
         "digest_rollup_salted": q_digest_rollup_salted,
         "countmin_hot_users": q_countmin_hot_users,
         "multimodal_features": q_multimodal_features,
         "req_tail_quantiles": q_req_tail_quantiles,
         "streaming_digest_events": q_streaming_digest_events,
-        "streaming_windowed_digest": q_streaming_windowed_digest,
         "tdigest_meta_by_flag": q_tdigest_meta_by_flag,
         "tdigest_exact_quantiles_orders": q_tdigest_exact_quantiles_orders,
         "top_revenue_nations": q_top_revenue_nations,
@@ -1974,7 +1997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": q_range_join_price_bands,
         "asof_click_purchase": q_asof_click_purchase,
         "user_sessions": q_user_sessions,
-        "json_props_stats": q_json_props_stats,
         "lang_id_confusion": q_lang_id_confusion,
         "similarity_topk": q_similarity_topk,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2201,13 +2223,28 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(n_events) as bigint) AS max_session_events
             FROM per_session
         """,
+        # k restates Spark's get_json_object + ANSI try_cast semantics:
+        # NULL on malformed JSON (DuckDB json functions RAISE there), NULL
+        # on non-integral scalars (DuckDB TRY_CAST would round '1.7'),
+        # NULL on int64 overflow; ' 7 ' trims like Spark's cast.
         "json_props_stats": """
+            WITH extracted AS (
+                SELECT event_type,
+                       CASE WHEN json_valid(props) THEN
+                           CASE WHEN regexp_matches(
+                                    trim(json_extract_string(props, '$.k')),
+                                    '^[+-]?[0-9]+$')
+                                THEN try_cast(trim(json_extract_string(props, '$.k'))
+                                              AS BIGINT) END
+                       END AS k
+                FROM events
+            )
             SELECT event_type, count(*) AS n_events,
-                   cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
-                   cast(min(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS min_k,
-                   cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k,
-                   count(DISTINCT cast(json_extract_string(props, '$.k') as bigint)) AS n_distinct_k
-            FROM events GROUP BY event_type
+                   cast(sum(k) as bigint) AS sum_k,
+                   cast(min(k) as bigint) AS min_k,
+                   cast(max(k) as bigint) AS max_k,
+                   count(DISTINCT k) AS n_distinct_k
+            FROM extracted GROUP BY event_type
         """,
         "lang_id_confusion": f"""
             WITH scored AS (
@@ -2363,14 +2400,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
                        AS exact_tuples,
-                   true AS is_estimation,
+                   count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
+                       > 64 AS is_estimation,
                    true AS within_bounds
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type
         """,
         "kll_estimation_events": """
-            SELECT event_type, count(*) AS n, true AS compacted,
+            SELECT event_type, count(*) AS n, true AS compaction_ok,
                    true AS p50_ok, true AS p90_ok
             FROM events WHERE event_type IS NOT NULL GROUP BY event_type
         """,
@@ -2378,7 +2416,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
                        AS exact_tuples,
-                   true AS is_estimation,
+                   count(DISTINCT (user_id, cast(date_trunc('day', ts) as date)))
+                       > 64 AS is_estimation,
                    true AS within_bound
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL

@@ -143,7 +143,52 @@ def perturb_events(path: str) -> None:
     for i, tp in enumerate(ts_probes):
         rows.append(dict(event_id=nid + 800 + i, ts=tp, user_id=18,
                          event_type="click", value=5.0 + i, props="{}"))
-    _append(path, pd.DataFrame(rows))
+    # JSON axis (sixth): sidecar JSON columns in production carry
+    # truncated writes, non-JSON garbage, and every scalar shape a
+    # permissive producer emits. Spark's get_json_object returns NULL on
+    # malformed input and the legacy cast NULLs non-integral strings;
+    # DuckDB's json functions RAISE on malformed JSON and strict casts
+    # raise on 'abc' — the oracle must restate Spark's null-on-dirt
+    # semantics (json_valid guard + TRY_CAST) or the first garbage row
+    # kills the backfill query that validates the pipeline.
+    json_probes = [
+        '{"k":1',                     # truncated write
+        'not json at all',            # garbage
+        '',                           # empty string (not valid JSON)
+        '{}',                         # valid, key missing
+        '{"k":"abc"}',                # non-numeric string
+        '{"k":" 7 "}',                # numeric string w/ spaces (cast trims)
+        '{"k":1.7}',                  # float (legacy long cast -> NULL)
+        '{"k":1e2}',                  # scientific notation
+        '{"k":true}',                 # boolean
+        '{"k":null}',                 # JSON null
+        '{"k":[1,2]}',                # array
+        '{"k":{"a":1}}',              # nested object
+        '{"k":12345678901234567890}', # > int64 max
+        '{"k":1,"k":2}',              # duplicate key
+    ]
+    for i, jp in enumerate(json_probes):
+        rows.append(dict(event_id=nid + 900 + i, ts=t0, user_id=19,
+                         event_type="view", value=1.0, props=jp))
+    # grouping-key shapes: empty string is NOT NULL (its own group on
+    # both engines), whitespace-only and non-ASCII keys survive the
+    # shuffle hash, and case variants stay DISTINCT groups (no engine
+    # may case-fold a group key)
+    for i, et in enumerate(["", " ", "café☕", "Click"]):
+        rows.append(dict(event_id=nid + 950 + i, ts=t0, user_id=20,
+                         event_type=et, value=2.0 + i, props="{}"))
+    # extreme int64 user ids: the full i64 domain must survive every
+    # hash path (xxhash64/murmur bucketing, theta/HLL/count-min,
+    # bottom-k) — abs(hash) patterns overflow at INT64_MIN, pmod must
+    # stay non-negative, and DISTINCT must agree with the oracle
+    for i, uid in enumerate([-(2**63), 2**63 - 1, -1, 0]):
+        rows.append(dict(event_id=nid + 960 + i, ts=t0, user_id=uid,
+                         event_type="click", value=3.0 + i, props="{}"))
+    df = pd.DataFrame(rows)
+    # pandas coerces a mixed int/None column to float64, which cannot
+    # represent the INT64_MIN/MAX probes; nullable Int64 keeps them exact
+    df["user_id"] = pd.array([r.get("user_id") for r in rows], dtype="Int64")
+    _append(path, df)
 
 
 def perturb_documents(path: str) -> None:
