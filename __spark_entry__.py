@@ -379,14 +379,24 @@ def q_lang_id_confusion(spark, sf_dir):
 
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 50 vectors as queries (exact;
-    fold arithmetic matches DuckDB's list_cosine_similarity bit-for-bit)."""
+    fold arithmetic matches DuckDB's list_cosine_similarity bit-for-bit).
+    dim=64 excludes corrupt vectors on both sides (well_formed_col; the
+    oracle restates the predicate — DuckDB's list_cosine_similarity RAISES
+    on NULL components and length mismatches, so an unscoped oracle dies
+    on the first corrupt production row)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, queries, k=5, dim=64)
 
 
 def q_embedding_norm_stats(spark, sf_dir):
-    emb = with_norm(_t(spark, sf_dir, "embeddings"))
+    """Norm stats scoped to well-formed vectors: a corrupt embedding has
+    no norm (NULL/NaN/inf folds — and Spark's max() would surface a NaN
+    norm as the group max while DuckDB raises on the NULL component)."""
+    from t_digest_spark.operators.similarity import well_formed_col
+    emb = _t(spark, sf_dir, "embeddings").where(well_formed_col(
+        F.transform("embedding", lambda x: x.cast("double")), 64))
+    emb = with_norm(emb)
     return (emb.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.min("_norm").alias("min_norm"),
@@ -2023,6 +2033,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _wf_sql(col: str, dim: int = 64) -> str:
+    """The well_formed_col predicate (operators/similarity.py) restated in
+    DuckDB SQL: exactly dim components, none NULL/NaN/inf, |x| <= 1e150
+    (WELL_FORMED_ABS_MAX — keeps every dot product finite). Purely
+    elementwise so it is safe inside a WHERE: DuckDB's list_inner_product/
+    list_cosine_similarity RAISE on NULL components and length mismatches,
+    and conjunct evaluation order is not guaranteed."""
+    return (f"len({col}) = {dim} AND len(list_filter({col}, "
+            f"x -> x IS NULL OR isnan(x) OR abs(x) > 1e150)) = 0")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_terms = "".join(
         f" - (length(replace(padded, ' {w} ', '')))" for w in LANG_MARKERS["en"])
@@ -2260,12 +2281,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {pred_case} AS pred_lang, count(*) AS n
             FROM best GROUP BY lang, pred_lang
         """,
-        "similarity_topk": """
-            WITH scored AS (
+        # the _WF filter restates well_formed_col (similarity.py): DuckDB's
+        # list functions RAISE on NULL components / length mismatches, so
+        # corrupt vectors must leave the oracle the same way they leave
+        # the operator — by the shared elementwise predicate.
+        "similarity_topk": f"""
+            WITH wf AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE {_wf_sql('embedding')}
+            ), scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                        list_cosine_similarity(c.embedding::double[],
                                               q.embedding::double[]) AS cosine
-                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                FROM wf q JOIN wf c ON q.vec_id != c.vec_id
                 WHERE q.vec_id < 50
             )
             SELECT query_id, corpus_id, rank, cosine
@@ -2630,11 +2658,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,
                    true AS norms_ok, true AS dims_ok
         """,
-        "embedding_norm_stats": """
+        "embedding_norm_stats": f"""
             SELECT label, count(*) AS n_vecs,
                    min(sqrt(list_dot_product(embedding::double[], embedding::double[]))) AS min_norm,
                    max(sqrt(list_dot_product(embedding::double[], embedding::double[]))) AS max_norm
-            FROM embeddings GROUP BY label
+            FROM embeddings
+            WHERE {_wf_sql('embedding')}
+            GROUP BY label
         """,
     }
 

@@ -244,10 +244,43 @@ def perturb_embeddings(path: str) -> None:
         dict(vec_id=nid + 2, embedding=clone, label=int(base["label"].iloc[0])),
         # NULL label
         dict(vec_id=nid + 3, embedding=clone, label=None),
+        # corrupted-vector axis (seventh): production embedding corpora
+        # carry encoder failures. A NaN component poisons dot products
+        # and norms (NaN cosine must rank LAST everywhere, like the
+        # zero-norm guard, not propagate into top-k results); an inf
+        # component makes norm inf (cosine 0/inf or inf/inf); a
+        # huge-magnitude component (1e200) overflows norm*norm to inf
+        # even though each value is finite; a WRONG-dimension vector
+        # (truncated write) must not crash zip_with folds or numpy
+        # stacking — engines treat missing positions as absent/null,
+        # and fixed-dim kernels (IVF) must reject or skip it, not die.
+        dict(vec_id=nid + 4,
+             embedding=[float("nan")] + [0.1] * (dim - 1), label=1),
+        dict(vec_id=nid + 5,
+             embedding=[float("inf")] + [0.1] * (dim - 1), label=1),
+        dict(vec_id=nid + 6,
+             embedding=[1e200] + [0.1] * (dim - 1), label=1),
+        dict(vec_id=nid + 7, embedding=[0.5] * (dim // 2), label=1),
+        dict(vec_id=nid + 8, embedding=[], label=1),
+        # NULL element, distinct from NaN: pandas->Arrow converts NaN
+        # list elements to null, so the nid+4 row lands on disk as a
+        # null-element row too — this one makes the shape explicit, and
+        # the arrow-native append below preserves nid+4's TRUE NaN.
+        dict(vec_id=nid + 9,
+             embedding=[None] + [0.1] * (dim - 1), label=1),
     ]
-    extra = pd.DataFrame(rows)
-    extra["label"] = extra["label"].astype("Int32")
-    _append(path, extra)
+    # Build the embedding column with pyarrow directly: from_pandas would
+    # silently rewrite the NaN component as null (pandas' null sentinel),
+    # collapsing the NaN and null probes into one shape.
+    orig = pq.read_table(path)
+    etype = orig.schema.field("embedding").type
+    extra_tb = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        "embedding": pa.array([r["embedding"] for r in rows],
+                              pa.list_(pa.float64())).cast(etype),
+        "label": pa.array([r["label"] for r in rows], pa.int32()),
+    }).select(orig.column_names).cast(orig.schema)
+    pq.write_table(pa.concat_tables([orig, extra_tb]), path)
 
 
 def perturb_orders(path: str) -> None:

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from t_digest_spark.operators.similarity import cosine_pair_col, norm_col
+from t_digest_spark.operators.similarity import (cosine_pair_col, norm_col,
+                                                 well_formed_col)
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -88,6 +89,10 @@ def ivf_train(df: DataFrame, k: int, dim: int, vec_col: str = "embedding",
     base = df.select(F.col(id_col).alias("__id"),
                      F.transform(F.col(vec_col), lambda x: x.cast("double"))
                      .alias("__v"))
+    # corrupt vectors (wrong dim, NULL/NaN/inf components) out of the
+    # training sample: one NaN seed poisons its centroid forever, and a
+    # ragged row crashes the np.stack in the assignment kernel
+    base = base.where(well_formed_col(F.col("__v"), dim))
     if sample_mod is None:
         n = df.count()          # one cheap metadata-ish job, same as lsh_topk
         sample_mod = max(1, n // max(train_target, 16 * k))
@@ -123,9 +128,14 @@ def ivf_train(df: DataFrame, k: int, dim: int, vec_col: str = "embedding",
 def ivf_index(df: DataFrame, centroids: np.ndarray,
               vec_col: str = "embedding") -> DataFrame:
     """Attach the ``cell`` column (at scale: write partitioned/bucketed by
-    it so probes prune at the scan)."""
+    it so probes prune at the scan). Corrupt vectors (wrong dim,
+    NULL/NaN/inf components) are excluded — they can neither be assigned
+    a cell (a ragged row crashes the vectorized kernel, a NaN one argmaxes
+    arbitrarily) nor be ranked by any probe."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn("cell", _assign_udf(centroids)(v))
+    dim = centroids.shape[1] if len(centroids) else 0
+    return (df.where(well_formed_col(v, dim))
+            .withColumn("cell", _assign_udf(centroids)(v)))
 
 
 def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
@@ -151,6 +161,9 @@ def ivf_topk(df: DataFrame, centroids: np.ndarray, k: int = 5,
         F.col(id_col).alias("corpus_id"), "cell")
     qsrc = queries if queries is not None else df
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # query side shares the index's corrupt-vector exclusion (the probe
+    # kernel np.stacks query vectors; a ragged/NaN query has no cells)
+    qsrc = qsrc.where(well_formed_col(qv, centroids.shape[1]))
     probes = qsrc.select(
         F.col(id_col).alias("query_id"),
         F.explode(_topn_cells_udf(centroids, nprobe)(qv)).alias("cell"))

@@ -47,13 +47,22 @@ def cosine_pair_col(va, vb, na=None, nb=None):
     contention. Precompute norms per CORPUS row (with_norm) so the
     pair-scale expression is one zip_with fold + a divide.
 
-    Zero-norm guard matches cosine_pairs_udf: -Infinity (ranks last,
-    fails every >= threshold filter)."""
+    Degenerate-pair guard matches cosine_pairs_udf: -Infinity (ranks
+    last, fails every >= threshold filter). Guarded shapes: zero norm
+    (0/0 = NaN, and Spark RANKS NaN above every real score), non-finite
+    norm or dot (inf/overflow components), and NULL dot (a NULL or
+    length-mismatched component NULLs the zip_with fold). Operators
+    filter corrupt vectors at entry via well_formed_col; this guard is
+    the defense-in-depth for callers that pass raw columns."""
+    inf = F.lit(float("inf"))
     dot = _dot(va, vb)
     na = F.sqrt(_dot(va, va)) if na is None else na
     nb = F.sqrt(_dot(vb, vb)) if nb is None else nb
     den = na * nb
-    return F.when(den == 0.0, F.lit(float("-inf"))).otherwise(dot / den)
+    # abs(x) < inf is FALSE for NaN (NaN sorts greatest) and for inf;
+    # NULL falls through when() to the -inf branch.
+    ok = (den > 0.0) & (den < inf) & (F.abs(dot) < inf)
+    return F.when(ok, dot / den).otherwise(F.lit(float("-inf")))
 
 
 def cosine_pairs_udf():
@@ -97,19 +106,50 @@ def norm_col(vec):
     return F.sqrt(_dot(vec, vec))
 
 
+# Elementwise magnitude cap that keeps every dot product finite: with
+# |x| <= 1e150, dot <= dim * 1e300 < DBL_MAX for any dim < 1e8. Shared by
+# well_formed_col and the SQL oracles so "well-formed" is ONE predicate.
+WELL_FORMED_ABS_MAX = 1e150
+
+
+def well_formed_col(vec, dim: int):
+    """TRUE iff the array column is a usable embedding: exactly ``dim``
+    components, none NULL/NaN/inf, all |x| <= 1e150 (so norms and dot
+    products stay finite). Production embedding corpora carry encoder
+    failures — truncated writes (wrong length, empty), NaN/null
+    components, overflow magnitudes — and a similarity operator can
+    neither index nor rank such a row: every vector operator filters on
+    this predicate at entry (a corrupt embedding is no more a similarity
+    candidate than a NULL measure is part of a SUM). Purely elementwise,
+    so the DuckDB oracles restate it verbatim with list_filter — no
+    evaluation-order hazard from putting list_inner_product (which RAISES
+    on NULL elements / length mismatches) inside a WHERE conjunct."""
+    cap = F.lit(WELL_FORMED_ABS_MAX)
+    return (F.size(vec) == F.lit(dim)) & F.forall(
+        vec, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) <= cap))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn("_vec", v).withColumn("_norm", norm_col(F.col("_vec")))
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: Optional[int] = None) -> DataFrame:
     """Exact cosine top-k of ``df`` rows for every query row.
 
     The query side is broadcast (it is the small side by construction); the
     corpus streams through a single map stage — no corpus shuffle. Ties broken
-    by ascending corpus id for determinism.
+    by ascending corpus id for determinism. Pass ``dim`` to exclude corrupt
+    vectors (wrong length, NULL/NaN/inf components) from BOTH sides — see
+    well_formed_col; without it, degenerate pairs still rank last (-inf)
+    via the cosine guard but corrupt rows stay visible as candidates.
     """
+    if dim is not None:
+        wf = lambda c: well_formed_col(
+            F.transform(F.col(c), lambda x: x.cast("double")), dim)
+        df, queries = df.where(wf(vec_col)), queries.where(wf(vec_col))
     corpus = with_norm(df, vec_col).select(
         F.col(id_col).alias("corpus_id"), "_vec", F.col("_norm").alias("_cnorm"))
     qs = with_norm(queries, vec_col).select(
@@ -235,6 +275,10 @@ def lsh_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     ``pyspark.sql.Observation`` to receive ``n_candidate_pairs`` when the
     query completes — no silent caps on candidate growth.
     """
+    # corrupt vectors (wrong dim, NULL/NaN/inf components) can neither
+    # bucket nor rank — excluded at entry, see well_formed_col
+    df = df.where(well_formed_col(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), dim))
     n_planes = _resolve_planes(df, n_planes, target_occupancy)
     base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
@@ -268,6 +312,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         observation=None) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, multi-table LSH-blocked;
     auto-sized buckets and vectorized pair scoring as in lsh_topk."""
+    # corrupt vectors excluded at entry (see well_formed_col)
+    df = df.where(well_formed_col(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), dim))
     n_planes = _resolve_planes(df, n_planes, target_occupancy)
     base = with_norm(df, vec_col).select(F.col(id_col), "_vec", "_norm")
     b = lsh_bucket(base, dim, n_planes, "_vec", n_tables=n_tables).select(
