@@ -840,3 +840,62 @@ def test_ivf_empty_corpus(spark):
     out = ivf_topk(empty, cents, k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "corpus_id", "rank", "cosine"}
+
+
+def test_corrupt_vectors_excluded_everywhere(spark):
+    """Corrupt embeddings (wrong dim, NULL/NaN/inf components, overflow
+    magnitudes) are excluded from every vector operator, and a NaN cosine
+    never outranks a real neighbor (Spark sorts NaN greatest, so an
+    unguarded NaN pair would silently displace true top-k results)."""
+    from t_digest_spark.operators.ivf import ivf_index, ivf_topk, ivf_train
+    from t_digest_spark.operators.similarity import (cosine_pair_col,
+                                                     embedding_near_dups,
+                                                     well_formed_col)
+    dim = 8
+    rng = np.random.default_rng(7)
+    clean = [(i, [float(x) for x in rng.standard_normal(dim)])
+             for i in range(40)]
+    # one clone pair so top-1 has a known answer
+    clean.append((1000, list(clean[0][1])))
+    corrupt = [
+        (2001, [float("nan")] + [0.1] * (dim - 1)),
+        (2002, [None] + [0.1] * (dim - 1)),
+        (2003, [float("inf")] + [0.1] * (dim - 1)),
+        (2004, [1e200] + [0.1] * (dim - 1)),
+        (2005, [0.5] * (dim // 2)),
+        (2006, []),
+    ]
+    df = spark.createDataFrame(clean + corrupt,
+                               "vec_id long, embedding array<double>")
+
+    n_wf = df.where(well_formed_col(F.col("embedding"), dim)).count()
+    assert n_wf == len(clean)
+
+    # brute force with dim: corrupt ids appear on neither side
+    bf = brute_force_topk(df, df.where(F.col("vec_id").isin(0, 1000)),
+                          k=3, dim=dim).toPandas()
+    assert not set(bf.corpus_id) & {c[0] for c in corrupt}
+    top1 = bf[(bf.query_id == 1000) & (bf["rank"] == 1)]
+    assert list(top1.corpus_id) == [0]       # clone wins, no NaN above it
+
+    # LSH near-dups: planted clone found, no corrupt id in any pair
+    nd = embedding_near_dups(df, threshold=0.99, dim=dim,
+                             n_planes=4, n_tables=2).toPandas()
+    assert {(0, 1000)} <= set(zip(nd.id_a, nd.id_b))
+    assert not (set(nd.id_a) | set(nd.id_b)) & {c[0] for c in corrupt}
+
+    # IVF: train/index/probe all survive the ragged rows and exclude them
+    cents = ivf_train(df, k=4, dim=dim, iters=1)
+    assert np.isfinite(cents).all()
+    idx = ivf_index(df, cents)
+    assert idx.count() == len(clean)
+    ivf = ivf_topk(df, cents, k=3, nprobe=2).toPandas()
+    assert not set(ivf.corpus_id) & {c[0] for c in corrupt}
+    assert not set(ivf.query_id) & {c[0] for c in corrupt}
+
+    # defense-in-depth guard: degenerate pairs score -inf, never NaN/NULL
+    pairs = df.alias("a").crossJoin(df.alias("b")).select(
+        cosine_pair_col(F.col("a.embedding"), F.col("b.embedding"))
+        .alias("c"))
+    bad = pairs.where(F.isnan("c") | F.col("c").isNull()).count()
+    assert bad == 0
