@@ -2140,7 +2140,12 @@ def oracle_sql() -> dict[str, str]:
             FROM unioned GROUP BY sha256(text)
         """,
         "ngram_jaccard_near_dups": """
-            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            -- substr(text, 1, 100000) restates the engine's per-document
+            -- work bound (dedup.CONTENT_PREFIX_CAP): shingles come from the
+            -- first 100k chars; identity on every synthetic doc (<=577
+            -- chars), exercised by the giant-document adversarial axis
+            WITH docs AS (SELECT doc_id, substr(text, 1, 100000) AS text
+                          FROM documents WHERE doc_id < 150),
             shingles AS (
                 SELECT DISTINCT doc_id, substr(text, gs, 4) AS shingle
                 FROM (SELECT doc_id, text,

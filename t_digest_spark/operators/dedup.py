@@ -24,6 +24,28 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Per-document work bound for the similarity paths (shingling, MinHash,
+# SimHash): signatures are computed over the first CONTENT_PREFIX_CAP
+# characters. A production corpus carries pathological rows — multi-MB
+# minified bundles, concatenated logs — and without a bound ONE such row
+# owns its task: char_shingles materializes a length-sized array before
+# exploding, and the MinHash kernel's (unique-shingles x num_hashes)
+# matrix grows without limit (a 50 MB random document would allocate
+# tens of GB). Near-dup SIGNALS saturate long before 100k chars (this is
+# the standard practice in large-scale dedup pipelines), and two
+# documents identical in content cap identically, so planted-duplicate
+# recall contracts are cap-invariant. Exact dedup (dedup_exact) and
+# fingerprints intentionally stay FULL-content (streaming hashes are
+# linear and the sha256 per-row invariant requires the whole document).
+# The SQL oracles restate the cap verbatim (substr(text, 1, cap)) — the
+# well_formed_col pattern; pass max_chars=None to disable.
+CONTENT_PREFIX_CAP = 100_000
+
+
+def _cap_text(df: DataFrame, text_col: str, max_chars: Optional[int]) -> DataFrame:
+    return df if max_chars is None else df.withColumn(
+        text_col, F.substring(F.col(text_col), 1, max_chars))
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -39,8 +61,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """Distinct character n-grams per doc — JVM-side only (sequence + substring)."""
+                  n: int = 3,
+                  max_chars: Optional[int] = CONTENT_PREFIX_CAP) -> DataFrame:
+    """Distinct character n-grams per doc — JVM-side only (sequence + substring).
+    Shingles the first ``max_chars`` characters (see CONTENT_PREFIX_CAP)."""
+    df = _cap_text(df, text_col, max_chars)
     return (df.select(
         id_col,
         F.explode(
@@ -55,14 +80,16 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        candidates: Optional[DataFrame] = None) -> DataFrame:
+                        candidates: Optional[DataFrame] = None,
+                        max_chars: Optional[int] = CONTENT_PREFIX_CAP) -> DataFrame:
     """Exact Jaccard over character n-gram sets for all pairs sharing >=1
     shingle (or only ``candidates`` (id_a, id_b) pairs when given).
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from a self-join on
-    shingle — expressible in plain SQL, so it has a DuckDB oracle.
+    shingle — expressible in plain SQL, so it has a DuckDB oracle (which
+    restates the ``max_chars`` shingle cap, see CONTENT_PREFIX_CAP).
     """
-    sh = char_shingles(df, text_col, id_col, n)
+    sh = char_shingles(df, text_col, id_col, n, max_chars=max_chars)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # candidate-driven order: expand each (id_a, id_b) pair by id_a's
@@ -138,7 +165,8 @@ def _minhash_sig_udf(num_hashes: int, n: int):
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16, n: int = 5) -> DataFrame:
+                           bands: int = 16, n: int = 5,
+                           max_chars: Optional[int] = CONTENT_PREFIX_CAP) -> DataFrame:
     """Banded MinHash-LSH: docs sharing any band bucket become candidate pairs.
 
     num_hashes/bands controls the similarity threshold ~ (1/bands)^(bands/num_hashes).
@@ -155,7 +183,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    base = _cap_text(df, text_col, max_chars).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sigs = base.mapInPandas(_minhash_sig_udf(num_hashes, n),
                             "doc_id long, sig array<long>")
     banded = sigs.select(
@@ -177,9 +206,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                          group_cols=("band", "bucket"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            max_chars: Optional[int] = CONTENT_PREFIX_CAP) -> DataFrame:
     """64-bit SimHash over whitespace tokens, entirely JVM-side:
-    explode tokens -> xxhash64 -> per-bit majority vote.
+    explode tokens -> xxhash64 -> per-bit majority vote. Tokens come from
+    the first ``max_chars`` characters (see CONTENT_PREFIX_CAP).
 
     The vote runs as TWO slim aggregates over an exploded (doc, bit, ±1)
     stream instead of 63 conditional-sum columns: one wide aggregate forced
@@ -188,7 +219,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     exploded stream to docs x 63 partial sums before the shuffle, so the
     plan shape is still a plain two-level hash aggregate at scale.
     """
-    toks = df.select(
+    toks = _cap_text(df, text_col, max_chars).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")).where(F.length("tok") > 0)
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
@@ -206,11 +237,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      max_chars: Optional[int] = CONTENT_PREFIX_CAP) -> DataFrame:
     """Candidate near-dups: pairs within ``max_hamming`` bits of SimHash.
     Blocked on 16-bit chunks (a pair within hamming<=3 of 63 bits must agree
     exactly on at least one of four 16-bit blocks — pigeonhole)."""
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, max_chars=max_chars)
     blocks = s.select("doc_id", "simhash", F.posexplode(F.array(*[
         (F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))).cast("int")
         for i in range(4)])).alias("blk", "blk_val"))

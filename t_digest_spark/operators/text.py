@@ -28,11 +28,23 @@ def _count_word(text_col, word: str):
             / F.length(F.lit(needle))).cast("long")
 
 
+def _field_count(text_col, sep_regex: str):
+    """len(split(x, sep)) without materializing the array: Spark's split
+    keeps every empty field (limit -1), so field count == separator-run
+    count + 1 for EVERY string, and regexp_count streams the scan in
+    whole-stage codegen with O(1) per-row memory. The split form builds a
+    length-proportional array per row just to take its size — at 100 TB a
+    single pathological multi-MB document (minified bundle, concatenated
+    log) turns that into a per-row allocation spike for no information.
+    Bit-identical by the field/separator identity; pinned by pytest."""
+    return F.regexp_count(text_col, F.lit(sep_regex)) + F.lit(1)
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (words + punctuation marks)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    words = F.size(F.split(F.trim(F.col(text_col)), r"[^\w]+"))
+    ws = _field_count(F.trim(F.col(text_col)), r"\s+")
+    words = _field_count(F.trim(F.col(text_col)), r"[^\w]+")
     punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
     return df.select(
         F.col(id_col),
@@ -47,7 +59,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     """Heuristic quality features: length, punctuation ratio, stopword ratio,
     mean word length, plus a composite score. Deterministic integer/ratio math."""
     n_chars = F.length(text_col)
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = _field_count(F.trim(F.col(text_col)), r"\s+")
     punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s一-鿿]", ""))
     stop_hits = None
     for w in LANG_MARKERS["en"]:

@@ -899,3 +899,66 @@ def test_corrupt_vectors_excluded_everywhere(spark):
         .alias("c"))
     bad = pairs.where(F.isnan("c") | F.col("c").isNull()).count()
     assert bad == 0
+
+
+# ----------------------------------- content-prefix cap / streaming field count
+
+def test_field_count_matches_size_split(spark):
+    """_field_count (regexp_count+1) is bit-identical to size(split(...)) —
+    the identity token_count/quality_score rely on to avoid materializing a
+    length-proportional array per row."""
+    from t_digest_spark.operators.text import _field_count
+    cases = ["", " ", "   ", "a", "a b", " a  b ", "a\tb\nc d", "a,b;;c--d",
+             "no_separators_at_all", "trailing spaces  ", "\n\n\n",
+             "多 空格  测试 行", "punct!only?here", "x" * 500,
+             ("word " * 200).strip()]
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    for sep in (r"\s+", r"[^\w]+"):
+        rows = df.select(
+            "t",
+            _field_count(F.col("t"), sep).alias("fc"),
+            F.size(F.split(F.col("t"), sep)).alias("ss")).collect()
+        for r in rows:
+            assert r.fc == r.ss, (sep, repr(r.t), r.fc, r.ss)
+        # trimmed form, exactly as token_count applies it
+        rows = df.select(
+            "t",
+            _field_count(F.trim(F.col("t")), sep).alias("fc"),
+            F.size(F.split(F.trim(F.col("t")), sep)).alias("ss")).collect()
+        for r in rows:
+            assert r.fc == r.ss, ("trim", sep, repr(r.t), r.fc, r.ss)
+
+
+def test_char_shingles_prefix_cap_semantics(spark):
+    """max_chars bounds the shingled prefix exactly; None disables the cap."""
+    df = _docs(spark, ["abcdefghij"])
+    capped = sorted(r.shingle for r in
+                    char_shingles(df, n=3, max_chars=5).collect())
+    assert capped == ["abc", "bcd", "cde"]          # shingles of "abcde" only
+    full = char_shingles(df, n=3, max_chars=None).collect()
+    assert len(full) == 8                            # all 10-3+1 trigrams
+
+
+def test_giant_documents_capped_signatures(spark):
+    """Two multi-hundred-kB docs identical in the first CONTENT_PREFIX_CAP
+    chars but wildly divergent after it: the cap makes every similarity
+    signature treat them as exact dups (capped texts equal), and the
+    per-task work stays bounded regardless of document length."""
+    from t_digest_spark.operators.dedup import CONTENT_PREFIX_CAP
+    prefix = ("lorem ipsum dolor sit amet " * 5000)[:CONTENT_PREFIX_CAP + 37]
+    a = prefix + (" unique tail alpha zz " * 2000)
+    b = prefix + (" different ending omega qq " * 3000)
+    assert len(a) > CONTENT_PREFIX_CAP and len(b) > CONTENT_PREFIX_CAP
+    df = _docs(spark, [a, b])
+
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sh[0] == sh[1]                            # capped texts identical
+
+    cand = minhash_lsh_candidates(df, num_hashes=16, bands=8, n=5).collect()
+    assert any({r.id_a, r.id_b} == {0, 1} for r in cand)
+
+    pairs = ngram_jaccard_pairs(df, n=4, threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+    # exact dedup stays FULL-content: the tails differ, so no collapse
+    assert dedup_exact(df).count() == 2
