@@ -43,7 +43,8 @@ from t_digest_spark.operators.multimodal import extract_features, synthetic_medi
 from t_digest_spark.operators.similarity import (brute_force_topk,
                                                  embedding_near_dups, lsh_topk,
                                                  with_norm)
-from t_digest_spark.operators.text import LANG_MARKERS, lang_id, token_count
+from t_digest_spark.operators.text import (LANG_MARKERS, _field_count, lang_id,
+                                           token_count)
 from t_digest_spark.sources.synthetic import source_code_table
 
 _D = ("means", "weights", "dmin", "dmax")
@@ -234,7 +235,9 @@ def q_quality_by_lang(spark, sf_dir):
     """Quality features aggregated with one final division (engine-exact)."""
     docs = _t(spark, sf_dir, "documents")
     n_chars = F.length("text")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # regexp_count form: same value as size(split(...)) for every string
+    # (field/separator identity, pinned in tests) with O(1) per-row memory
+    n_tokens = _field_count(F.trim(F.col("text")), r"\s+")
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     stop_hits = None
     for w in LANG_MARKERS["en"]:
@@ -2008,28 +2011,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "checkpoint_resume": q_checkpoint_resume,
         # --- (d) body unchanged, but an operator module underneath changed
-        # in r5 (core.py digest paths, dedup.py, multimodal.py decode,
+        # in r5 (core.py digest paths, dedup.py content-prefix cap,
+        # text.py regexp_count field counts, multimodal.py decode,
         # sketches/spark.py empty-input identities) ---
         "tdigest_meta_by_flag": q_tdigest_meta_by_flag,
         "countmin_hot_users": q_countmin_hot_users,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
-        # --- (e) fully untouched since r4-green; the sketch/session gates
-        # get the last in-cap slots, the pure-Catalyst rest trail ---
+        "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,  # + oracle cap
+        "token_counts_by_lang": q_token_counts_by_lang,   # _field_count path
+        "quality_by_lang": q_quality_by_lang,             # _field_count path
+        "lang_id_confusion": q_lang_id_confusion,         # text.py changed
+        # --- (e) fully untouched since r4-green; the sketch gates get the
+        # last in-cap slots, the pure-Catalyst rest trails ---
         "theta_rollup_users": q_theta_rollup_users,
         "frequent_tokens": q_frequent_tokens,
+        # ---- a 50-cap drops everything below this line: r4-green rows,
+        # q_ bodies AND operator modules byte-identical to that check ----
         "bottomk_user_sample": q_bottomk_user_sample,
         "user_sessions": q_user_sessions,
         "events_top3_per_type": q_events_top3_per_type,
-        # ---- a 50-cap drops everything below this line: r4-green rows,
-        # q_ bodies AND operator modules byte-identical to that check ----
         "top_revenue_nations": q_top_revenue_nations,
         "events_stats_by_type": q_events_stats_by_type,
-        "token_counts_by_lang": q_token_counts_by_lang,
-        "quality_by_lang": q_quality_by_lang,
-        "lang_id_confusion": q_lang_id_confusion,
         "range_join_price_bands": q_range_join_price_bands,
         "rollup_revenue": q_rollup_revenue,
         "histogram_doc_lengths": q_histogram_doc_lengths,
