@@ -43,8 +43,8 @@ from t_digest_spark.operators.multimodal import extract_features, synthetic_medi
 from t_digest_spark.operators.similarity import (brute_force_topk,
                                                  embedding_near_dups, lsh_topk,
                                                  with_norm)
-from t_digest_spark.operators.text import (LANG_MARKERS, _field_count, lang_id,
-                                           token_count)
+from t_digest_spark.operators.text import (LANG_MARKERS, _count_word,
+                                           _field_count, lang_id, token_count)
 from t_digest_spark.sources.synthetic import source_code_table
 
 _D = ("means", "weights", "dmin", "dmax")
@@ -238,11 +238,12 @@ def q_quality_by_lang(spark, sf_dir):
     # regexp_count form: same value as size(split(...)) for every string
     # (field/separator identity, pinned in tests) with O(1) per-row memory
     n_tokens = _field_count(F.trim(F.col("text")), r"\s+")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    # _count_word = regexp_count on the padded string: identical value to
+    # the oracle's replace-diff arithmetic (one non-overlapping scan both
+    # ways), measured ~2x faster with no stripped-copy allocation
     stop_hits = None
     for w in LANG_MARKERS["en"]:
-        c = ((F.length(padded) - F.length(F.replace(padded, F.lit(f" {w} "), F.lit(""))))
-             / F.length(F.lit(f" {w} "))).cast("long")
+        c = _count_word("text", w)
         stop_hits = c if stop_hits is None else stop_hits + c
     per_doc = docs.select("lang", n_chars.alias("nc"), n_tokens.alias("nt"),
                           stop_hits.alias("sh"))

