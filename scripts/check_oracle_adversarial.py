@@ -20,9 +20,13 @@ divergence found should become a new injected shape here):
        infinite extremes without NaN-poisoning or Arrow-null crashes);
      - documents: empty text, whitespace-only text, NULL lang, NULL
        source, exact-duplicate text pairs (dedup fodder), a 1-char doc,
-       and multibyte/non-ASCII docs (CJK, accents, NFD combining marks,
+       multibyte/non-ASCII docs (CJK, accents, NFD combining marks,
        astral-plane emoji, RTL Arabic, exotic whitespace) probing every
-       byte-vs-codepoint seam between Spark and the DuckDB oracles;
+       byte-vs-codepoint seam between Spark and the DuckDB oracles, and
+       two ~115k-char giant docs sharing an identical first-100k prefix
+       (beyond CONTENT_PREFIX_CAP: capped signatures collapse them,
+       exact dedup separates them, text expressions stay oracle-equal
+       on giant strings);
      - embeddings: an all-zero vector (cosine division hazard), exact
        clone pairs, a NULL label;
      - orders: tie-priced orders, a NULL o_orderpriority;
@@ -228,6 +232,26 @@ def perturb_documents(path: str) -> None:
         rows.append(dict(doc_id=nid + 10 + i, text=tx,
                          lang=("zh" if i == 0 else "en"), source="web",
                          n_chars=len(tx)))
+    # Giant-document axis (eighth): a production code corpus carries
+    # multi-MB minified bundles / concatenated logs among sub-kB files.
+    # Two ~115k-char docs share an identical first-100k prefix (longer
+    # than dedup.CONTENT_PREFIX_CAP) and diverge after it. They exercise:
+    # the capped MinHash kernel inside the full-table minhash gate (the
+    # planted-clone recall contract must hold with giants in the corpus),
+    # exact dedup separating them (full-content sha — tails differ), and
+    # every full-content text expression (regexp_count field/punct/marker
+    # counts, fingerprints, length histograms) against the DuckDB oracle
+    # on 115k-char strings. Deterministic: fixed multiplicative-hash word
+    # streams, no RNG.
+    prefix = " ".join(f"w{(i * 2654435761) % 1000003}"
+                      for i in range(14000))           # ~118k chars
+    assert len(prefix) > 100_000
+    for j, tailseed in enumerate((97, 193)):
+        tail = " ".join(f"t{(i * tailseed + 3) % 9973}"
+                        for i in range(1500))          # ~10k chars, differs
+        tx = prefix + " " + tail
+        rows.append(dict(doc_id=nid + 20 + j, text=tx, lang="en",
+                         source="bundle", n_chars=len(tx)))
     _append(path, pd.DataFrame(rows))
 
 

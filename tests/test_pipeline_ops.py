@@ -1001,3 +1001,55 @@ def test_punct_count_matches_replace_form(spark):
             F.length(F.regexp_replace(F.col("t"), cls, "")).alias("rl")).collect()
         for r in rows:
             assert r.rc == r.rl, (cls, repr(r.t), r.rc, r.rl)
+
+
+def test_counting_identities_property(spark):
+    """Property check of the three regexp_count identities on randomized
+    unicode strings (hypothesis-generated corpus, ONE Spark job per batch —
+    per-example jobs would dominate the suite): field count == size(split),
+    punct count == length(regexp_replace), marker count == replace-diff.
+    Alphabet mixes ASCII word/punct chars, exotic whitespace, CJK, NFD
+    combining marks, astral-plane emoji, and RTL — the byte-vs-codepoint
+    seams where Java regex forms could plausibly diverge from each other."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from t_digest_spark.operators.text import _count_word, _field_count
+
+    tokens = (list(" \t\n\r\x0b\f") + list("abcZ09_") + list(",.!?-;") +
+              list("中文的") + ["\u00e9", "e\u0301", "\u00a0", "\u2003",
+                               "\U0001F600", "\u0639", "\U0001D11E", "the", " the "])
+    strings = st.lists(st.sampled_from(tokens), max_size=40).map("".join)
+
+    @given(st.lists(strings, min_size=1, max_size=8))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(texts):
+        df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+        tr = F.trim(F.col("t"))
+        padded = F.concat(F.lit(" "), F.col("t"), F.lit(" "))
+        needle = " the "
+        replace_diff = ((F.length(padded)
+                         - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+                        / F.length(F.lit(needle))).cast("long")
+        rows = df.select(
+            "t",
+            _field_count(tr, r"\s+").alias("fc_ws"),
+            F.size(F.split(tr, r"\s+")).alias("ss_ws"),
+            _field_count(tr, r"[^\w]+").alias("fc_w"),
+            F.size(F.split(tr, r"[^\w]+")).alias("ss_w"),
+            F.regexp_count(F.col("t"), F.lit(r"[^\w\s]")).alias("pc"),
+            F.length(F.regexp_replace(F.col("t"), r"[\w\s]", "")).alias("pl"),
+            F.regexp_count(F.col("t"),
+                           F.lit(r"[^a-zA-Z0-9\s一-鿿]")).alias("qc"),
+            F.length(F.regexp_replace(F.col("t"), r"[a-zA-Z0-9\s一-鿿]",
+                                      "")).alias("ql"),
+            _count_word("t", "the").alias("wc"),
+            replace_diff.alias("wr")).collect()
+        for r in rows:
+            assert r.fc_ws == r.ss_ws, ("ws", repr(r.t))
+            assert r.fc_w == r.ss_w, ("word", repr(r.t))
+            assert r.pc == r.pl, ("punct", repr(r.t))
+            assert r.qc == r.ql, ("qpunct", repr(r.t))
+            assert r.wc == r.wr, ("marker", repr(r.t))
+
+    check()
