@@ -1958,8 +1958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed this round, (e) fully untouched since its r4-green row.  The
     # r4 cap checked exactly 50 entries; the 12 that a 50-cap drops below
     # are therefore exactly the (e) block — r4-green AND untouched in r5
-    # (pure-Catalyst text/histogram/range-join/sample queries whose q_
-    # bodies and operator modules are byte-identical to the r4 snapshot).
+    # (pure-Catalyst window/join/histogram/sample/sketch queries whose q_
+    # bodies and operator modules are byte-identical to the r4 snapshot;
+    # the text trio moved INTO the cap when text.py switched to
+    # regexp_count counting forms late in r5).
     return {
         # --- (a) q_ body rewritten after its last driver-green row ---
         # late-r5 rewrites (adversarial-axis sweeps): honest estimation-
