@@ -36,7 +36,8 @@ from t_digest_spark.operators.aggregation import tdigest_aggregate
 from t_digest_spark.operators.histogram import (HistogramSpec,
                                                 histogram_aggregate,
                                                 histogram_quantile)
-from t_digest_spark.operators.dedup import (dedup_exact, minhash_lsh_candidates,
+from t_digest_spark.operators.dedup import (CONTENT_PREFIX_CAP, dedup_exact,
+                                            minhash_lsh_candidates,
                                             ngram_jaccard_pairs,
                                             simhash_near_dups)
 from t_digest_spark.operators.multimodal import extract_features, synthetic_media
@@ -2146,12 +2147,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dup_count
             FROM unioned GROUP BY sha256(text)
         """,
-        "ngram_jaccard_near_dups": """
-            -- substr(text, 1, 100000) restates the engine's per-document
-            -- work bound (dedup.CONTENT_PREFIX_CAP): shingles come from the
-            -- first 100k chars; identity on every synthetic doc (<=577
-            -- chars), exercised by the giant-document adversarial axis
-            WITH docs AS (SELECT doc_id, substr(text, 1, 100000) AS text
+        "ngram_jaccard_near_dups": f"""
+            -- substr restates the engine's per-document work bound
+            -- (dedup.CONTENT_PREFIX_CAP, interpolated so retuning the cap
+            -- cannot desynchronize engine and oracle): shingles come from
+            -- the first {CONTENT_PREFIX_CAP} chars; identity on every
+            -- synthetic doc (<=577 chars), exercised by the giant-document
+            -- adversarial axis
+            WITH docs AS (SELECT doc_id,
+                                 substr(text, 1, {CONTENT_PREFIX_CAP}) AS text
                           FROM documents WHERE doc_id < 150),
             shingles AS (
                 SELECT DISTINCT doc_id, substr(text, gs, 4) AS shingle

@@ -84,16 +84,17 @@ def run_battery(docs, n_docs: int, max_chars):
     rep = {}
 
     t = time.time()
-    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=8, n=5,
-                                  max_chars=max_chars)
-    pairs = set((r.id_a, r.id_b) for r in
-                cand.where((F.col("id_a") >= N_NORMAL)
-                           | (F.col("id_b") >= N_NORMAL)).collect())
-    n_cand = cand.count()
+    # one materialization: collect ALL candidate pairs, count/filter locally
+    # (candidate volume is ~10k here; a second Spark action would re-run the
+    # whole uncached signature pipeline inside the timing window)
+    all_pairs = minhash_lsh_candidates(docs, num_hashes=32, bands=8, n=5,
+                                       max_chars=max_chars).collect()
     rep["minhash_wall_s"] = round(time.time() - t, 2)
+    pairs = set((r.id_a, r.id_b) for r in all_pairs
+                if r.id_a >= N_NORMAL or r.id_b >= N_NORMAL)
     rep["minhash_docs_per_s"] = round(n_docs / rep["minhash_wall_s"], 1)
-    rep["minhash_candidates"] = n_cand
-    rep["minhash_found_pair"] = (min(a, b), max(a, b)) in pairs or (a, b) in pairs
+    rep["minhash_candidates"] = len(all_pairs)
+    rep["minhash_found_pair"] = (a, b) in pairs
 
     t = time.time()
     nd = simhash_near_dups(docs, max_hamming=3, max_chars=max_chars)
@@ -121,6 +122,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     giant_chars = int(giant_mb * 1_000_000)
+    # the planted pair diverges only AFTER the cap — a smaller giant size
+    # would silently move the differing tails inside the capped prefix and
+    # read as a recall failure instead of a misconfigured corpus
+    assert giant_chars > CONTENT_PREFIX_CAP, (giant_chars, CONTENT_PREFIX_CAP)
     n_docs = N_NORMAL + n_giant
     docs = make_docs(spark, n_giant, giant_chars).cache()
     docs.count()

@@ -968,7 +968,8 @@ def test_count_word_matches_replace_diff(spark):
     """_count_word (regexp_count on the padded string) equals the
     replace-diff arithmetic the SQL oracles use — one left-to-right
     non-overlapping scan either way, including the shared-space
-    undercount on back-to-back markers ('a a a' counts 1 for 'a')."""
+    undercount on back-to-back markers (padded ' a a a ' counts 2 for
+    'a': matches at 0-2 and 4-6; only the middle 'a' loses its space)."""
     from t_digest_spark.operators.text import _count_word
     cases = ["the cat", "the the the", "a a a", " a ", "a", "", "xthe they",
              "the", "the ", " the", "and the of to a", "多 的 是 的 多",
