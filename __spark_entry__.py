@@ -1515,6 +1515,63 @@ def q_streaming_distinct_users(spark, sf_dir):
         (F.col("theta") == -1).alias("exact_mode"))
 
 
+def q_streaming_dedup_events(spark, sf_dir):
+    """Streaming deduplication gate: the events table replayed through TWO
+    unioned file-stream legs over the SAME time-ordered staged chunks —
+    every row arrives (at least) twice, copies in possibly different
+    micro-batches — then dedup_stream (dropDuplicatesWithinWatermark on
+    the full content tuple, watermark-bounded state, the 100 TB-safe form
+    vs dropDuplicates' unbounded key log) must return the EXACT distinct
+    set: per-type unique-row counts match batch SELECT DISTINCT, and a
+    no-dup-leaked flag re-verifies output uniqueness in-job. Time-ordered
+    replay + Spark's min-policy global watermark make this deterministic
+    (see dedup_stream's docstring). Epoch floor stated explicitly: rows
+    at-or-before 1970-01-01T00:00:00 (and NULL ts) are filtered on BOTH
+    engines — the raw-ts analog of the windowed gates' floor, EXCLUSIVE
+    at the boundary because Spark's late filter drops event_time <= the
+    zero-initialized first-batch watermark (the adversarial timestamp
+    axis plants a row at exactly epoch to pin this)."""
+    import tempfile
+    from t_digest_spark.streaming import dedup_stream
+    in_dir = _staged_event_chunks(spark, sf_dir)
+    schema = "ts timestamp, event_type string, value double, user_id long"
+
+    def leg():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2").parquet(in_dir))
+
+    doubled = leg().unionByName(leg()).where(
+        F.col("ts") > F.lit("1970-01-01").cast("timestamp"))
+    deduped = dedup_stream(doubled, ["ts", "event_type", "value", "user_id"],
+                           "ts", "2 days")
+    name = "stream_dedup_sink"
+    work = tempfile.mkdtemp(prefix="dedup_stream_q_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try:
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+    # batch finalize from the sink (dedup -> agg stays ONE stateful
+    # operator per stream; the memory sink is gate-only — production
+    # writes the deduped stream to a real table)
+    return (spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.count(F.lit(1))
+         == F.count_distinct(F.struct("ts", "value", "user_id")))
+        .alias("no_dup_leaked")))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column plumbing: synthetic media -> hash-fake features ->
     per-kind stats (decode itself stubbed; Spark plumbing real).
@@ -1957,12 +2014,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its last driver-green row, (b) never driver-checked, (c) green only in
     # an old round, (d) body unchanged but an operator module underneath it
     # changed this round, (e) fully untouched since its r4-green row.  The
-    # r4 cap checked exactly 50 entries; the 12 that a 50-cap drops below
-    # are therefore exactly the (e) block — r4-green AND untouched in r5
+    # r4 cap checked exactly 50 entries; the 13 that a 50-cap drops below
+    # are therefore exactly the (e) tail — r4-green AND untouched in r5
     # (pure-Catalyst window/join/histogram/sample/sketch queries whose q_
     # bodies and operator modules are byte-identical to the r4 snapshot;
     # the text trio moved INTO the cap when text.py switched to
-    # regexp_count counting forms late in r5).
+    # regexp_count counting forms late in r5, and streaming_dedup_events
+    # joined block (b) when the operator landed).
     return {
         # --- (a) q_ body rewritten after its last driver-green row ---
         # late-r5 rewrites (adversarial-axis sweeps): honest estimation-
@@ -1987,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
         "countmin_estimation_users": q_countmin_estimation_users,
+        "streaming_dedup_events": q_streaming_dedup_events,
         # --- (c) r3-green, dropped by the r4 50-query cap, r5-modified ---
         "dedup_components": q_dedup_components,
         "dedup_pipeline": q_dedup_pipeline,
@@ -2030,9 +2089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (e) fully untouched since r4-green; the sketch gates get the
         # last in-cap slots, the pure-Catalyst rest trails ---
         "theta_rollup_users": q_theta_rollup_users,
+        # ---- a 50-cap drops everything below this line (13 of 63 after
+        # streaming_dedup_events joined block (b)): r4-green rows, q_
+        # bodies AND operator modules byte-identical to that check ----
         "frequent_tokens": q_frequent_tokens,
-        # ---- a 50-cap drops everything below this line: r4-green rows,
-        # q_ bodies AND operator modules byte-identical to that check ----
         "bottomk_user_sample": q_bottomk_user_sample,
         "user_sessions": q_user_sessions,
         "events_top3_per_type": q_events_top3_per_type,
@@ -2676,6 +2736,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL AND NOT isnan(value)
               AND date_trunc('day', ts) >= TIMESTAMP '1970-01-01'
             GROUP BY 1, 2
+        """,
+        # Streaming dedup: the doubled replay must collapse to batch
+        # SELECT DISTINCT over the same content tuple, under the same
+        # epoch floor (raw ts here — no day window — so the predicate is
+        # on ts itself and STRICT: Spark's late filter drops event_time
+        # <= the zero-initialized watermark, so a row at exactly epoch is
+        # late; it also excludes NULL ts on both engines).
+        "streaming_dedup_events": """
+            WITH d AS (SELECT DISTINCT ts, event_type, value, user_id
+                       FROM events WHERE ts > TIMESTAMP '1970-01-01')
+            SELECT event_type, cast(count(*) as bigint) AS n_unique,
+                   true AS no_dup_leaked
+            FROM d GROUP BY event_type
         """,
         "multimodal_features": """
             SELECT 'image' AS kind, cast(2000 as bigint) AS n_media,

@@ -510,3 +510,33 @@ def req_stream_aggregate(df: DataFrame, value_col: str,
     return (df.groupBy(*group_cols)
             .applyInPandasWithState(update, out_schema, REQ_STATE_SCHEMA,
                                     "update", timeout))
+
+
+def dedup_stream(stream: DataFrame, key_cols: Sequence[str],
+                 ts_col: str = "ts", delay: str = "2 days") -> DataFrame:
+    """Watermark-bounded streaming deduplication over ``key_cols`` —
+    Spark's ``dropDuplicatesWithinWatermark`` with event-time state
+    eviction, the 100 TB-safe form: plain ``dropDuplicates`` on a stream
+    keeps an UNBOUNDED key log for the life of the query, while
+    within-watermark state is bounded by delay x arrival rate and evicted
+    as event time advances.
+
+    Exactness under time-ordered replay (any number of unioned source
+    legs): a duplicate is missed only if its first copy's state was
+    evicted before the second copy arrived. Eviction needs the GLOBAL
+    watermark — the MIN across sources under Spark's default
+    multipleWatermarkPolicy — to pass the key's event time + delay, and a
+    time-ordered source sits at ~the event time it is delivering, so the
+    global watermark trails every in-flight event time by >= delay. The
+    same argument shows no well-ordered row is ever dropped as late. Rows
+    with event time AT or before 1970-01-01T00:00:00 DO drop against
+    Spark's zero-initialized first-batch watermark — the late filter is
+    ``event_time <= watermark``, so the floor is exclusive at exactly
+    epoch (the same floor as the windowed aggregates, restate it in any
+    batch oracle) — and NULL event times never advance the watermark.
+
+    NULL key components compare EQUAL (groupBy semantics), matching SQL
+    ``SELECT DISTINCT``; NaN compares equal to NaN on both engines.
+    """
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(list(key_cols)))

@@ -622,3 +622,57 @@ def test_req_stream_matches_batch(spark):
             assert abs(rank - qq) <= 0.04 * (1 - qq) + 2 / allx.size + 0.004
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_dedup_stream_doubled_legs_exact(spark):
+    """Two unioned file-stream legs over the SAME time-ordered files (every
+    row duplicated, copies possibly in different micro-batches) dedup back
+    to the exact distinct set — the min-policy global-watermark argument in
+    dedup_stream's docstring, exercised for real. Also pins: duplicates
+    WITHIN a batch collapse, NULL key components compare equal, and the
+    deduped output is exactly unique."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(8):                      # 8 time-ordered files
+        ts = base + dt.timedelta(days=day)
+        rows.append(pd.DataFrame({
+            "ts": [ts, ts, ts + dt.timedelta(hours=1)],
+            "k": [f"k{day}", f"k{day}", None],     # in-batch dup + NULL key
+            "v": [float(day), float(day), 7.0],
+        }))
+
+    work = tempfile.mkdtemp(prefix="dedup_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        for i, pdf in enumerate(rows):
+            _write_batch(spark, in_dir, pdf, f"b{i}")
+
+        from t_digest_spark.streaming import dedup_stream
+        schema = "ts timestamp, k string, v double"
+        leg = lambda: (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        doubled = leg().unionByName(leg())
+        deduped = dedup_stream(doubled, ["ts", "k", "v"], "ts", "2 days")
+
+        q = (deduped.writeStream.format("memory").queryName("dedup_sink")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = spark.table("dedup_sink").toPandas()
+        want = pd.concat(rows).drop_duplicates()
+        assert len(got) == len(want), (len(got), len(want))
+        # exact distinct set, NULL-safe
+        gs = set(map(tuple, got.astype(str).to_numpy().tolist()))
+        ws = set(map(tuple, want.astype(str).to_numpy().tolist()))
+        assert gs == ws
+        assert not got.duplicated().any()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
