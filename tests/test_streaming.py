@@ -676,3 +676,66 @@ def test_dedup_stream_doubled_legs_exact(spark):
         assert not got.duplicated().any()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_dedup_stream_restart_resumes_from_checkpoint(spark):
+    """Streaming-dedup form of the checkpoint-resume requirement: stop the
+    doubled-leg dedup mid-input, land a batch that REPEATS earlier rows
+    plus new ones while the query is down, restart from the SAME
+    checkpoint — the restarted query must recover its dedup state (the
+    repeated rows stay suppressed: their keys live in the recovered state
+    store) and emit exactly the genuinely-new rows once each."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    b1 = pd.DataFrame({
+        "ts": [base + dt.timedelta(hours=h) for h in range(4)],
+        "k": [f"k{h}" for h in range(4)],
+        "v": [float(h) for h in range(4)],
+    })
+    # b2: two exact repeats of b1 rows + three new rows, slightly later
+    b2 = pd.concat([b1.iloc[:2], pd.DataFrame({
+        "ts": [base + dt.timedelta(hours=4 + h) for h in range(3)],
+        "k": [f"n{h}" for h in range(3)],
+        "v": [100.0 + h for h in range(3)],
+    })])
+
+    work = tempfile.mkdtemp(prefix="dedup_stream_restart_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+
+    from t_digest_spark.streaming import dedup_stream
+
+    def _start(sink_rows):
+        stream = (spark.readStream.schema("ts timestamp, k string, v double")
+                  .option("maxFilesPerTrigger", "1").parquet(in_dir))
+        deduped = dedup_stream(stream, ["ts", "k", "v"], "ts", "2 days")
+        return (deduped.writeStream
+                .foreachBatch(lambda bdf, _bid: sink_rows.extend(bdf.collect()))
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .start())
+
+    try:
+        _write_batch(spark, in_dir, b1, "b1")
+        run1 = []
+        q = _start(run1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(run1) == 4                       # b1 emitted once each
+
+        _write_batch(spark, in_dir, b2, "b2")       # lands while DOWN
+        run2 = []
+        q2 = _start(run2)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # resume-correct: only the 3 new rows emit. 5 = dedup state lost
+        # (repeats re-emitted); 9 = committed source files replayed.
+        got = sorted(r.k for r in run2)
+        assert got == ["n0", "n1", "n2"], got
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
