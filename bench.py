@@ -452,7 +452,7 @@ def main():
     # doubles suite wall-clock without changing the steady-state estimate.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     single_trial = {"streaming_digest_events", "streaming_windowed_digest",
-                    "streaming_distinct_users"}
+                    "streaming_distinct_users", "streaming_dedup_events"}
 
     # Per-query all-round best from every committed BENCH_r*.json: the
     # retry target. A query slower than RETRY_FACTOR x its best-ever gets
