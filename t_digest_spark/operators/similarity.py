@@ -62,7 +62,15 @@ def cosine_pair_col(va, vb, na=None, nb=None):
     # abs(x) < inf is FALSE for NaN (NaN sorts greatest) and for inf;
     # NULL falls through when() to the -inf branch.
     ok = (den > 0.0) & (den < inf) & (F.abs(dot) < inf)
-    return F.when(ok, dot / den).otherwise(F.lit(float("-inf")))
+    # Clamp to [-1, 1]: an exact clone pair rounds dot/(sqrt(n)*sqrt(n))
+    # to 1 + 1ulp for ~1/4 of real vectors (sqrt(x)^2 != x), and DuckDB's
+    # list_cosine_similarity clamps — measured bit-equal to this fold on
+    # every real cross pair, exactly +/-1.0 on clone/anti-clone pairs.
+    # Cosine is mathematically in [-1, 1], so the clamp only ever removes
+    # rounding excess. The -inf degenerate sentinel stays outside it.
+    return F.when(ok, F.greatest(F.lit(-1.0),
+                                 F.least(F.lit(1.0), dot / den))
+                  ).otherwise(F.lit(float("-inf")))
 
 
 def cosine_pairs_udf():
@@ -78,12 +86,15 @@ def cosine_pairs_udf():
         num = np.einsum("ij,ij->i", A, B)
         den = np.sqrt(np.einsum("ij,ij->i", A, A)
                       * np.einsum("ij,ij->i", B, B))
-        # zero-norm guard: 0/0 would yield NaN, which Spark RANKS ABOVE
-        # every real score and which passes >= threshold filters; -inf
-        # ranks such pairs last and fails every threshold, matching the
-        # old fold path's NULL behavior in effect
+        # degenerate guard aligned with cosine_pair_col: zero/NaN/inf
+        # denominator or non-finite dot -> -inf (ranks last, fails every
+        # threshold; raw NaN would rank FIRST in Spark); finite scores
+        # clamp to [-1, 1] like the fold and DuckDB (clone pairs round to
+        # 1 + 1ulp otherwise)
         with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den == 0.0, -np.inf, num / den)
+            ok = np.isfinite(den) & (den > 0.0) & np.isfinite(num)
+            out = np.where(ok, np.clip(num / np.where(ok, den, 1.0),
+                                       -1.0, 1.0), -np.inf)
         return pd.Series(out)
     return _cos
 

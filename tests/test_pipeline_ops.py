@@ -1054,3 +1054,56 @@ def test_counting_identities_property(spark):
             assert r.wc == r.wr, ("marker", repr(r.t))
 
     check()
+
+
+def test_cosine_clamp_clone_pairs(spark):
+    """Clone and anti-clone pairs must score EXACTLY +/-1.0: the raw fold
+    rounds dot/(sqrt(n)*sqrt(n)) to 1+1ulp for ~1/4 of real vectors
+    (sqrt(x)^2 != x), DuckDB's list_cosine_similarity clamps, and the
+    driver's hash compare is exact — the sf0.01-base adversarial sweep
+    caught this as a 2e-16 mismatch on an injected clone. Both cosine
+    paths (Catalyst fold + Arrow UDF) carry the clamp; the -inf
+    degenerate sentinel survives it."""
+    from t_digest_spark.operators.similarity import (cosine_pair_col,
+                                                     cosine_pairs_udf)
+    rng = np.random.default_rng(11)
+    vecs = [[float(np.float32(x)) for x in rng.normal(size=64)]
+            for _ in range(64)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": vecs,
+        "b": vecs,                                    # clones
+        "c": [[-x for x in v] for v in vecs],         # anti-clones
+        "z": [[0.0] * 64] * 64,                       # degenerate
+    }))
+    rows = df.select(
+        "a",
+        cosine_pair_col(F.col("a"), F.col("b")).alias("self_cos"),
+        cosine_pair_col(F.col("a"), F.col("c")).alias("anti_cos"),
+        cosine_pair_col(F.col("a"), F.col("z")).alias("zero_cos"),
+        cosine_pairs_udf()(F.col("a"), F.col("b")).alias("self_udf"),
+        cosine_pairs_udf()(F.col("a"), F.col("c")).alias("anti_udf"),
+        cosine_pairs_udf()(F.col("a"), F.col("z")).alias("zero_udf")).collect()
+    import duckdb
+    con = duckdb.connect()
+    for r in rows:
+        v = [float(x) for x in r.a]
+        nv = [-x for x in v]
+        d_self = con.execute(
+            "SELECT list_cosine_similarity($1::DOUBLE[], $2::DOUBLE[])",
+            [v, v]).fetchone()[0]
+        d_anti = con.execute(
+            "SELECT list_cosine_similarity($1::DOUBLE[], $2::DOUBLE[])",
+            [v, nv]).fetchone()[0]
+        # the contract: the Catalyst fold (every oracle-gated call site)
+        # is BIT-equal to the oracle engine — never above 1 (the clamp
+        # removes the 1+1ulp excess), while 1-1ulp self-cosines are
+        # legitimate and both engines return them. The Arrow UDF uses
+        # einsum (pairwise/SIMD summation, different rounding) and is not
+        # oracle-gated: clamped and within 1 ulp is its contract.
+        assert r.self_cos == d_self, (r.self_cos, d_self)
+        assert r.anti_cos == d_anti, (r.anti_cos, d_anti)
+        assert abs(r.self_udf - d_self) < 5e-16 and r.self_udf <= 1.0
+        assert abs(r.anti_udf - d_anti) < 5e-16 and r.anti_udf >= -1.0
+        assert abs(r.self_cos - 1.0) < 5e-16 and r.self_cos <= 1.0
+        assert abs(r.anti_cos + 1.0) < 5e-16 and r.anti_cos >= -1.0
+        assert r.zero_cos == float("-inf") and r.zero_udf == float("-inf")
