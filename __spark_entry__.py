@@ -44,6 +44,11 @@ from t_digest_spark.operators.multimodal import extract_features, synthetic_medi
 from t_digest_spark.operators.similarity import (brute_force_topk,
                                                  embedding_near_dups, lsh_topk,
                                                  with_norm)
+from t_digest_spark.operators.curation import (EMAIL_RE, IPV4_RE, TOKEN_SEP,
+                                               pack_chunks, pii_scrub,
+                                               repetition_signals,
+                                               temperature_probabilities,
+                                               temperature_sample)
 from t_digest_spark.operators.text import (LANG_MARKERS, _count_word,
                                            _field_count, lang_id, token_count)
 from t_digest_spark.sources.synthetic import source_code_table
@@ -2007,6 +2012,95 @@ def q_bottomk_user_sample(spark, sf_dir):
     return bottomk_distinct_sample(ev, "user_id", ["event_type"], k=7)
 
 
+def q_repetition_by_lang(spark, sf_dir):
+    """Gopher/C4-style repetition quality signals (operators/curation.py)
+    rolled up per language. Integer numerators/denominators sum exactly
+    (partial-aggregation-order-free) and divide ONCE, so the DuckDB oracle
+    matches bit-for-bit; `n_flagged` uses the integer cross-multiply form
+    of max_token/n_tokens > 1/5 at n_tokens >= 10."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(docs, keep_cols=("lang",))
+    flagged = ((F.col("max_token") * 5 > F.col("n_tokens"))
+               & (F.col("n_tokens") >= 10)).cast("long")
+    sum_lines = F.sum("n_lines").cast("double")
+    sum_dup = F.sum("n_dup_lines").cast("double")
+    sum_tok = F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double")
+    sum_max = F.sum("max_token").cast("double")
+    return (rep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (sum_dup / sum_lines).cast("double").alias("dup_line_frac"),
+        (sum_max / sum_tok).cast("double").alias("top_token_frac"),
+        F.sum(flagged).cast("long").alias("n_flagged")))
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-0.5 corpus mix over languages: deterministic md5
+    keep-draws against in-plan per-group probabilities (integer-quantized
+    weights make p_keep bit-identical to the SQL oracle — see
+    operators/curation.py). Emits target probability AND the achieved
+    sample count per group; the oracle replays the identical predicate, so
+    a drift in either the probability math or the md5 keep rule flips the
+    hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    probs = temperature_probabilities(docs, "lang", 0.4, tau=0.5)
+    kept = (temperature_sample(docs, "lang", "doc_id", 0.4, tau=0.5)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+            .select(F.col("lang").alias("__l__"), "n_kept"))
+    cond = F.col("lang").eqNullSafe(F.col("__l__"))
+    return (probs.join(kept, cond, "left").drop("__l__")
+            .select("lang", F.col("n_in").cast("long").alias("n_in"),
+                    F.col("p_keep").cast("double").alias("p_keep"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept")))
+
+
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII redaction (emails + IPv4) over text augmented with a
+    deterministic doc_id-derived contact line — the synthetic corpus
+    carries no organic PII, so the augmentation makes every count and the
+    redacted-character delta text-dependent and non-trivial while staying
+    reproducible in the SQL oracle (same concat, same patterns, same
+    sequential replace). All-integer outputs; scrubbing itself is one
+    per-row codegen projection (operators/curation.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(F.coalesce(F.col("text"), F.lit("")),
+                   F.lit(" contact user"), F.col("doc_id").cast("string"),
+                   F.lit("@example.com from 10."),
+                   (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"))
+    scrubbed = pii_scrub(docs.select("doc_id", "lang", aug.alias("text")),
+                         keep_cols=("lang",))
+    return (scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.sum(F.col("n_chars_in") - F.col("n_chars_out")).cast("long")
+        .alias("chars_redacted")))
+
+
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing (512-token chunks over
+    the corpus laid out in doc_id order). Token counts use the streaming
+    regexp_count form (count of maximal non-separator runs — O(1) per-row
+    memory, no split array); the exclusive running sum is refine.py's
+    range-partitioned two-pass cumulative sum, never a single-task
+    Window.orderBy. The oracle recomputes the same integer layout with a
+    plain window cumsum — valid at oracle scale, funnel-free on the Spark
+    side. All-integer outputs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_count(F.coalesce(F.col("text"), F.lit("")),
+                          F.lit(r"[^ \t\n\r\f]+")).cast("bigint")
+    packed = pack_chunks(
+        docs.select("doc_id", "lang", toks.alias("toks")),
+        "toks", "doc_id", budget=512)
+    return (packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("chunks_spanned").cast("long").alias("sum_chunks_spanned"),
+        F.max("chunks_spanned").cast("long").alias("max_chunks_spanned"),
+        F.min("first_chunk").cast("long").alias("min_first_chunk"),
+        F.max("first_chunk").cast("long").alias("max_first_chunk")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING POLICY (VERDICT r3 #2, refined each round): if the harness
     # caps or samples the dict, the queries with the weakest driver evidence
@@ -2044,6 +2138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green; r5 finite-money domain rule added to query AND oracle
         "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
+        "repetition_by_lang": q_repetition_by_lang,
+        "temperature_mix": q_temperature_mix,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "pack_chunks": q_pack_chunks,
         "countmin_estimation_users": q_countmin_estimation_users,
         "streaming_dedup_events": q_streaming_dedup_events,
         # --- (c) r3-green, dropped by the r4 50-query cap, r5-modified ---
@@ -2260,6 +2358,137 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast(sum(nc) as double) / cast(sum(nt) as double) as double) AS chars_per_token,
                    cast(sum(nt) as bigint) AS total_tokens
             FROM per_doc GROUP BY lang
+        """,
+        "repetition_by_lang": rf"""
+            WITH capped AS (
+                SELECT doc_id, lang, substr(text, 1, 100000) AS txt
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, lang,
+                       len(string_split(coalesce(txt, ''), chr(10))) AS n_lines,
+                       len(string_split(coalesce(txt, ''), chr(10)))
+                         - len(list_distinct(string_split(coalesce(txt, ''), chr(10)))) AS n_dup_lines
+                FROM capped
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(txt), '{TOKEN_SEP}'),
+                           x -> x <> '')) AS t
+                FROM capped
+            ),
+            per_tok AS (
+                SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+            ),
+            per_doc AS (
+                SELECT doc_id, max(c) AS max_token, sum(c) AS n_tokens
+                FROM per_tok GROUP BY doc_id
+            ),
+            joined AS (
+                SELECT l.lang, l.n_lines, l.n_dup_lines,
+                       coalesce(p.max_token, 0) AS max_token,
+                       coalesce(p.n_tokens, 0) AS n_tokens
+                FROM lines l LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(cast(sum(n_dup_lines) as double)
+                        / cast(sum(n_lines) as double) as double) AS dup_line_frac,
+                   cast(cast(sum(max_token) as double)
+                        / cast(greatest(sum(n_tokens), 1) as double) as double) AS top_token_frac,
+                   cast(sum(CASE WHEN max_token * 5 > n_tokens
+                                  AND n_tokens >= 10 THEN 1 ELSE 0 END)
+                        as bigint) AS n_flagged
+            FROM joined GROUP BY lang
+        """,
+        "temperature_mix": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_in,
+                       cast(floor(sqrt(cast(count(*) as double))
+                                  * 1000000000.0) as bigint) AS wq
+                FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(n_in) AS n, sum(wq) AS swq FROM counts),
+            probs AS (
+                SELECT lang, n_in,
+                       least(1.0, (0.4 * cast(n as double) * cast(wq as double))
+                                  / (cast(swq as double)
+                                     * cast(n_in as double))) AS p_keep
+                FROM counts, tot
+            ),
+            kept AS (
+                SELECT d.lang, count(*) AS n_kept
+                FROM documents d
+                JOIN probs p ON (d.lang IS NOT DISTINCT FROM p.lang)
+                WHERE p.p_keep >= 1.0
+                   OR substr(md5(CASE WHEN d.doc_id IS NULL THEN 'null:'
+                                      ELSE 'k:' || cast(d.doc_id as varchar)
+                                 END), 1, 15)
+                      < lower(lpad(to_hex(cast(floor(p.p_keep
+                                   * 1152921504606846976.0) as bigint)),
+                                   15, '0'))
+                GROUP BY d.lang
+            )
+            SELECT p.lang, cast(p.n_in as bigint) AS n_in,
+                   cast(p.p_keep as double) AS p_keep,
+                   cast(coalesce(k.n_kept, 0) as bigint) AS n_kept
+            FROM probs p
+            LEFT JOIN kept k ON (p.lang IS NOT DISTINCT FROM k.lang)
+        """,
+        "pii_scrub_stats": rf"""
+            WITH aug AS (
+                SELECT lang,
+                       coalesce(text, '') || ' contact user'
+                         || cast(doc_id as varchar) || '@example.com from 10.'
+                         || cast(doc_id % 256 as varchar) || '.0.1' AS t
+                FROM documents
+            ),
+            scrub AS (
+                SELECT lang,
+                       len(regexp_split_to_array(t, '{EMAIL_RE}')) - 1 AS n_emails,
+                       len(regexp_split_to_array(t, '{IPV4_RE}')) - 1 AS n_ipv4,
+                       length(t) AS n_in,
+                       length(regexp_replace(
+                           regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{IPV4_RE}', '<IP>', 'g')) AS n_out
+                FROM aug
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_emails) as bigint) AS total_emails,
+                   cast(sum(n_ipv4) as bigint) AS total_ipv4,
+                   cast(sum(n_in - n_out) as bigint) AS chars_redacted
+            FROM scrub GROUP BY lang
+        """,
+        "pack_chunks": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(coalesce(text, ''),
+                                                 '[^ \t\n\r\f]+')) - 1 AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, toks,
+                       sum(toks) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - toks AS before
+                FROM t
+            ),
+            d AS (
+                SELECT lang, toks,
+                       before // 512 AS first_chunk,
+                       CASE WHEN toks > 0
+                            THEN (before + toks - 1) // 512
+                                 - before // 512 + 1
+                            ELSE 0 END AS spanned
+                FROM c
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(toks) as bigint) AS total_tokens,
+                   cast(sum(spanned) as bigint) AS sum_chunks_spanned,
+                   cast(max(spanned) as bigint) AS max_chunks_spanned,
+                   cast(min(first_chunk) as bigint) AS min_first_chunk,
+                   cast(max(first_chunk) as bigint) AS max_first_chunk
+            FROM d GROUP BY lang
         """,
         "time_rollup_digests": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
