@@ -2043,7 +2043,8 @@ def q_temperature_mix(spark, sf_dir):
     hash gate."""
     docs = _t(spark, sf_dir, "documents")
     probs = temperature_probabilities(docs, "lang", 0.4, tau=0.5)
-    kept = (temperature_sample(docs, "lang", "doc_id", 0.4, tau=0.5)
+    kept = (temperature_sample(docs, "lang", "doc_id", 0.4, tau=0.5,
+                               probs=probs)
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
             .select(F.col("lang").alias("__l__"), "n_kept"))
     cond = F.col("lang").eqNullSafe(F.col("__l__"))
@@ -2079,13 +2080,15 @@ def q_pii_scrub_stats(spark, sf_dir):
 
 def q_pack_chunks(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing (512-token chunks over
-    the corpus laid out in doc_id order). Token counts use the streaming
-    regexp_count form (count of maximal non-separator runs — O(1) per-row
-    memory, no split array); the exclusive running sum is refine.py's
-    range-partitioned two-pass cumulative sum, never a single-task
-    Window.orderBy. The oracle recomputes the same integer layout with a
-    plain window cumsum — valid at oracle scale, funnel-free on the Spark
-    side. All-integer outputs."""
+    the corpus laid out in doc_id order). Token counts count maximal
+    non-separator runs via regexp_count (which Spark rewrites to
+    size(regexp_extract_all(...)) — the match array is content-sized, same
+    asymptotic memory as size(split), chosen here because the count form
+    has no trim/empty-field edge and restates verbatim in the oracle); the
+    exclusive running sum is refine.py's range-partitioned two-pass
+    cumulative sum, never a single-task Window.orderBy. The oracle
+    recomputes the same integer layout with a plain window cumsum — valid
+    at oracle scale, funnel-free on the Spark side. All-integer outputs."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_count(F.coalesce(F.col("text"), F.lit("")),
                           F.lit(r"[^ \t\n\r\f]+")).cast("bigint")

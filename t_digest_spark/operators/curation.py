@@ -175,13 +175,18 @@ def keep_by_probability(p: Column, key_col: str) -> Column:
 
 
 def temperature_sample(df: DataFrame, group_col: str, key_col: str,
-                       target_fraction: float, tau: float = 0.5) -> DataFrame:
+                       target_fraction: float, tau: float = 0.5,
+                       probs: Optional[DataFrame] = None) -> DataFrame:
     """Temperature-mixed deterministic sample: ``df`` filtered to the rows
     whose md5 draw clears their group's ``p_keep``. The probability frame
     is group-cardinality-sized and broadcast; the join is NULL-safe so a
-    NULL group samples like any other."""
-    probs = (temperature_probabilities(df, group_col, target_fraction, tau)
-             .select(F.col(group_col).alias("__grp__"), "p_keep"))
+    NULL group samples like any other. Pass a precomputed
+    ``temperature_probabilities`` frame via ``probs`` when the caller also
+    consumes it — otherwise the count aggregate's corpus scan runs twice
+    (once here, once for the caller's copy)."""
+    if probs is None:
+        probs = temperature_probabilities(df, group_col, target_fraction, tau)
+    probs = probs.select(F.col(group_col).alias("__grp__"), "p_keep")
     cond = df[group_col].eqNullSafe(F.col("__grp__"))
     return (df.join(F.broadcast(probs), cond)
             .where(keep_by_probability(F.col("p_keep"), key_col))

@@ -32,13 +32,15 @@ def _count_word(text_col, word: str):
 
 
 def _field_count(text_col, sep_regex: str):
-    """len(split(x, sep)) without materializing the array: Spark's split
-    keeps every empty field (limit -1), so field count == separator-run
-    count + 1 for EVERY string, and regexp_count streams the scan in
-    whole-stage codegen with O(1) per-row memory. The split form builds a
-    length-proportional array per row just to take its size — at 100 TB a
-    single pathological multi-MB document (minified bundle, concatenated
-    log) turns that into a per-row allocation spike for no information.
+    """len(split(x, sep)) without materializing the full field array:
+    Spark's split keeps every empty field (limit -1), so field count ==
+    separator-run count + 1 for EVERY string. Spark rewrites regexp_count
+    to size(regexp_extract_all(...)), so this form still allocates a match
+    array — but its entries are the SEPARATOR runs (whitespace bytes,
+    typically a few % of the document), where the split form's fields are
+    the entire content — at 100 TB a single pathological multi-MB document
+    (minified bundle, concatenated log) turns the split form into a
+    content-sized per-row allocation spike for no information.
     Bit-identical by the field/separator identity; pinned by pytest.
     Measured cost: ~16% slower than size(split) on typical ~300-char rows
     (1.24 vs 1.06 µs/row for \\s+) — accepted for the O(1) memory bound; a

@@ -295,3 +295,61 @@ def test_nullsafe_contract_join_is_broadcast_hash(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_pack_chunks_no_full_corpus_sort(spark):
+    """pack_chunks' running token sum must keep the range-partitioned
+    two-pass shape: every window ordered by the layout key (doc_id) must
+    also partition by the chunk column (one task per chunk, ~1/num_chunks
+    of the corpus), never a single-task global orderBy."""
+    import re
+    import __spark_entry__ as em
+    df = em.queries()["pack_chunks"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "__chunk__" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    doc_specs = [s for s in specs if re.search(r"\bdoc_id#\d+L? ASC", s)]
+    assert doc_specs, "expected a window ordered by doc_id"
+    for s in doc_specs:
+        assert "__chunk__" in s, f"global-sort window found: {s}"
+
+
+def test_temperature_sample_is_broadcast_filter(spark):
+    """temperature_sample's probability join must broadcast the tiny
+    per-group frame (BroadcastHashJoin on the null-safe composite keys) so
+    the corpus-side scan stays a pipelined filter — no shuffle of the data
+    rows, no nested loop against the corpus."""
+    import __spark_entry__ as em
+    from t_digest_spark.operators.curation import temperature_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(temperature_sample(docs, "lang", "doc_id", 0.4))
+    # the only join touching the corpus-sized side must be broadcast-hash;
+    # the IdentityBroadcast cross of the two 1-row/5-row aggregate frames
+    # inside temperature_probabilities is constant-sized and fine
+    assert "BroadcastHashJoin" in plan
+    corpus_joins = [ln for ln in plan.splitlines()
+                    if "NestedLoopJoin" in ln and "BuildRight" in ln
+                    and "Cross" not in ln]
+    assert not corpus_joins, corpus_joins
+    # md5 keep-predicate evaluates in the join/filter, not a Python UDF
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_repetition_signals_combine_and_pruning(spark):
+    """repetition_signals' token path must partially aggregate before both
+    exchanges (map-side combine on (doc, token) then doc) and read only
+    the needed columns."""
+    from t_digest_spark.operators.curation import repetition_signals
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(repetition_signals(docs, keep_cols=("lang",)))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
+def test_pii_scrub_is_single_projection(spark):
+    """pii_scrub must stay a shuffle-free per-row projection."""
+    from t_digest_spark.operators.curation import pii_scrub
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pii_scrub(docs))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
