@@ -49,8 +49,9 @@ from t_digest_spark.operators.curation import (EMAIL_RE, IPV4_RE, TOKEN_SEP,
                                                repetition_signals,
                                                temperature_probabilities,
                                                temperature_sample)
-from t_digest_spark.operators.text import (LANG_MARKERS, _count_word,
-                                           _field_count, lang_id, token_count)
+from t_digest_spark.operators.text import (LANG_MARKERS, WS_CLASS,
+                                           _count_word, _field_count, lang_id,
+                                           token_count)
 from t_digest_spark.sources.synthetic import source_code_table
 
 _D = ("means", "weights", "dmin", "dmax")
@@ -243,7 +244,7 @@ def q_quality_by_lang(spark, sf_dir):
     n_chars = F.length("text")
     # regexp_count form: same value as size(split(...)) for every string
     # (field/separator identity, pinned in tests) with O(1) per-row memory
-    n_tokens = _field_count(F.trim(F.col("text")), r"\s+")
+    n_tokens = _field_count(F.trim(F.col("text")), WS_CLASS + "+")
     # _count_word = regexp_count on the padded string: identical value to
     # the oracle's replace-diff arithmetic (one non-overlapping scan both
     # ways), measured ~2x faster with no stripped-copy allocation
@@ -2341,9 +2342,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_lang": r"""
             SELECT lang,
-                   cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS sum_ws_tokens,
+                   cast(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) as bigint) AS sum_ws_tokens,
                    cast(sum(len(regexp_split_to_array(trim(text), '[^\w]+'))
-                       + length(regexp_replace(text, '[\w\s]', '', 'g'))) as bigint) AS sum_bpe_tokens,
+                       + length(regexp_replace(text, '[\w \t\n\x0B\f\r]', '', 'g'))) as bigint) AS sum_bpe_tokens,
                    cast(sum(length(text)) as bigint) AS sum_chars,
                    cast(count(*) as bigint) AS n_docs
             FROM documents GROUP BY lang
@@ -2352,7 +2353,7 @@ def oracle_sql() -> dict[str, str]:
             WITH per_doc AS (
                 SELECT lang,
                        length(text) AS nc,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+                       len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS nt,
                        {stop_hits} AS sh
                 FROM (SELECT lang, text, ' ' || text || ' ' AS padded FROM documents)
             )

@@ -26,7 +26,9 @@ divergence found should become a new injected shape here):
        two ~115k-char giant docs sharing an identical first-100k prefix
        (beyond CONTENT_PREFIX_CAP: capped signatures collapse them,
        exact dedup separates them, text expressions stay oracle-equal
-       on giant strings);
+       on giant strings), and curation-hostile PII/repetition shapes
+       (boundary IPs, 1-letter TLDs, edge-flush emails, vertical-tab
+       separators, saturated duplicate lines, a 30k-char single token);
      - embeddings: an all-zero vector (cosine division hazard), exact
        clone pairs, a NULL label;
      - orders: tie-priced orders, a NULL o_orderpriority;
@@ -252,6 +254,30 @@ def perturb_documents(path: str) -> None:
         tx = prefix + " " + tail
         rows.append(dict(doc_id=nid + 20 + j, text=tx, lang="en",
                          source="bundle", n_chars=len(tx)))
+    # Curation-hostile shapes (ninth axis): organic PII-ish strings that
+    # probe the Java-regex-vs-RE2 seam the pii/repetition/packing gates
+    # ride on — boundary IPs (the \b..\b pattern intentionally accepts
+    # 999.999.999.999; both engines must agree), 1-letter TLDs ({2,} must
+    # reject), emails flush at string edges, dotted-quad runs longer than
+    # 4 octets, an IP glued inside an email's domain, vertical-tab
+    # "whitespace" (\x0B splits under \s but NOT under the ASCII-explicit
+    # token class — pinned), massively repeated lines/tokens (the Gopher
+    # signals' saturation case), and a doc that is ONE 30k-char token
+    # (packing/token-count work bound).
+    pii = [
+        "a@b.co",                                       # email IS the doc
+        "no-match a@b.c trailing",                      # 1-letter TLD: no hit
+        "edge 999.999.999.999 case",                    # out-of-range octets
+        "run 1.2.3.4.5.6 over",                         # 6-octet dotted run
+        "x@10.1.2.3.com and bare 10.1.2.3",             # IP inside email domain
+        "end with mail user.name+tag@sub.domain.org",   # match at string end
+        "a\x0bb 1.2.3.4\x0bc@d.ee",                     # vertical-tab seams
+        ("dup line\n" * 40) + ("tok " * 200),           # repetition saturation
+        "K" * 30_000,                                   # one giant token
+    ]
+    for i, tx in enumerate(pii):
+        rows.append(dict(doc_id=nid + 30 + i, text=tx, lang="en",
+                         source="pii", n_chars=len(tx)))
     _append(path, pd.DataFrame(rows))
 
 

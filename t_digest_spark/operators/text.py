@@ -10,6 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Java's \s spelled out as an explicit class: RE2 (the DuckDB oracle's
+# regex engine) defines \s WITHOUT \x0B (vertical tab), Java WITH — a real
+# divergence the adversarial sweep's ninth axis caught on injected
+# \x0B-separated text. Every whitespace class in this module uses the
+# explicit form so both engines scan the identical language.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 # tiny per-language marker lexicons for the n-gram/stopword heuristic language id
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a"],
@@ -53,13 +60,13 @@ def _field_count(text_col, sep_regex: str):
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (words + punctuation marks)."""
-    ws = _field_count(F.trim(F.col(text_col)), r"\s+")
+    ws = _field_count(F.trim(F.col(text_col)), WS_CLASS + "+")
     words = _field_count(F.trim(F.col(text_col)), r"[^\w]+")
     # count of non-word non-space chars directly: each single-char match of
     # the negated class is one punct char, so this equals
     # length(regexp_replace(text, '[\\w\\s]', '')) without materializing the
     # stripped copy — measured 3.6x faster at ~300-char rows
-    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w \t\n\x0B\f\r]"))
     return df.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
@@ -73,8 +80,8 @@ def quality_score(df: DataFrame, text_col: str = "text",
     """Heuristic quality features: length, punctuation ratio, stopword ratio,
     mean word length, plus a composite score. Deterministic integer/ratio math."""
     n_chars = F.length(text_col)
-    n_tokens = _field_count(F.trim(F.col(text_col)), r"\s+")
-    punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s一-鿿]"))
+    n_tokens = _field_count(F.trim(F.col(text_col)), WS_CLASS + "+")
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9 \t\n\x0B\f\r一-鿿]"))
     stop_hits = None
     for w in LANG_MARKERS["en"]:
         c = _count_word(text_col, w)
