@@ -48,7 +48,8 @@ from t_digest_spark.operators.curation import (EMAIL_RE, IPV4_RE, TOKEN_SEP,
                                                pack_chunks, pii_scrub,
                                                repetition_signals,
                                                temperature_probabilities,
-                                               temperature_sample)
+                                               temperature_sample,
+                                               token_df_signals)
 from t_digest_spark.operators.text import (LANG_MARKERS, WS_CLASS,
                                            _count_word, _field_count, lang_id,
                                            token_count)
@@ -2079,6 +2080,24 @@ def q_pii_scrub_stats(spark, sf_dir):
         .alias("chars_redacted")))
 
 
+def q_token_df_by_lang(spark, sf_dir):
+    """Corpus-statistics scoring (operators/curation.py token_df_signals):
+    per-language mean token document-frequency and hapax fraction — the
+    integer-exact perplexity proxy. Vocabulary aggregates and the join
+    back both derive from one per-(doc, token) frame; integer sums, one
+    final division, so the DuckDB oracle matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = token_df_signals(docs, keep_cols=("lang",))
+    denom = F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double")
+    return (sig.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("sum_tok_df").cast("double") / denom).cast("double")
+        .alias("avg_token_df"),
+        (F.sum("n_hapax").cast("double") / denom).cast("double")
+        .alias("hapax_frac")))
+
+
 def q_pack_chunks(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing (512-token chunks over
     the corpus laid out in doc_id order). Token counts count maximal
@@ -2146,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pii_scrub_stats": q_pii_scrub_stats,
         "pack_chunks": q_pack_chunks,
+        "token_df_by_lang": q_token_df_by_lang,
         "countmin_estimation_users": q_countmin_estimation_users,
         "streaming_dedup_events": q_streaming_dedup_events,
         # --- (c) r3-green, dropped by the r4 50-query cap, r5-modified ---
@@ -2404,6 +2424,47 @@ def oracle_sql() -> dict[str, str]:
                                   AND n_tokens >= 10 THEN 1 ELSE 0 END)
                         as bigint) AS n_flagged
             FROM joined GROUP BY lang
+        """,
+        "token_df_by_lang": rf"""
+            WITH capped AS (
+                SELECT doc_id, lang, substr(text, 1, 100000) AS txt
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(txt), '{TOKEN_SEP}'),
+                           x -> x <> '')) AS t
+                FROM capped
+            ),
+            per_tok AS (
+                SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+            ),
+            vocab AS (
+                SELECT t, count(*) AS df_docs FROM per_tok GROUP BY t
+            ),
+            per_doc AS (
+                SELECT doc_id, sum(c) AS n_tokens,
+                       sum(c * df_docs) AS sum_df,
+                       sum(CASE WHEN df_docs = 1 THEN c ELSE 0 END) AS n_hapax
+                FROM per_tok JOIN vocab USING (t) GROUP BY doc_id
+            ),
+            j AS (
+                SELECT cp.lang,
+                       coalesce(p.n_tokens, 0) AS n_tokens,
+                       coalesce(p.sum_df, 0) AS sum_df,
+                       coalesce(p.n_hapax, 0) AS n_hapax
+                FROM capped cp LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_tokens) as bigint) AS total_tokens,
+                   cast(cast(sum(sum_df) as double)
+                        / cast(greatest(sum(n_tokens), 1) as double)
+                        as double) AS avg_token_df,
+                   cast(cast(sum(n_hapax) as double)
+                        / cast(greatest(sum(n_tokens), 1) as double)
+                        as double) AS hapax_frac
+            FROM j GROUP BY lang
         """,
         "temperature_mix": """
             WITH counts AS (

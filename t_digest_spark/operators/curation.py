@@ -113,6 +113,59 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))
 
 
+def token_df_signals(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_chars: Optional[int] = CONTENT_PREFIX_CAP,
+                     keep_cols: tuple = ()) -> DataFrame:
+    """Corpus-statistics quality signals: score each document by how
+    COMMON its tokens are across the whole corpus — a perplexity proxy
+    with exact integer arithmetic (a real n-gram LM's log-prob sums are
+    float-order-dependent and would never hash-match an oracle; document
+    frequency ranks documents the same way for the filtering use case).
+    Per document:
+
+      n_tokens      token occurrences (capped prefix, as repetition_signals);
+      sum_tok_df    sum over occurrences of the token's corpus DOCUMENT
+                    frequency (#docs containing it) — high = stereotypical
+                    text, low = rare/gibberish;
+      n_hapax       occurrences of corpus-hapax tokens (document frequency
+                    1 — OOV-ish mass).
+
+    Shape: one explode -> per-(doc, token) counts (map-side combinable,
+    skew-free keys) -> the VOCABULARY aggregates from that same frame
+    (token document frequency) -> join back on token. The join's build
+    side is vocabulary-sized; hot tokens ('the') skew the probe side and
+    are exactly what AQE skew-join splitting handles — leave AQE on (the
+    session default here) at scale. Headroom: sum_tok_df <= n_tokens_cap x
+    corpus docs per document (~1e15 at 2e4 x 5e10) — fits bigint per doc;
+    EXACT corpus-wide sums of sum_tok_df overflow bigint around 1e19, so
+    at production scale aggregate per-doc ratios (digest/mean), not raw
+    corpus totals. The gate query's per-lang sums sit far below that.
+    """
+    capped = _cap_text(df.select(id_col, text_col, *keep_cols),
+                       text_col, max_chars)
+    # group/join ONLY on id_col: keep_cols ride on the base side (a NULL
+    # keep column — a real group — would silently drop from an equality
+    # join key and zero the doc's counts)
+    toks = capped.select(id_col,
+                         F.explode(_tokens(F.col(text_col))).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+    per_doc = (per_tok.join(vocab, "tok")
+               .groupBy(id_col).agg(
+                   F.sum("c").cast("bigint").alias("n_tokens"),
+                   F.sum(F.col("c") * F.col("df_docs")).cast("bigint")
+                   .alias("sum_tok_df"),
+                   F.sum(F.when(F.col("df_docs") == 1, F.col("c"))
+                         .otherwise(0)).cast("bigint").alias("n_hapax")))
+    out = (capped.select(id_col, *keep_cols)
+           .join(per_doc, on=id_col, how="left"))
+    for c in ("n_tokens", "sum_tok_df", "n_hapax"):
+        out = out.withColumn(c, F.coalesce(c, F.lit(0)).cast("bigint"))
+    return out
+
+
 def temperature_probabilities(df: DataFrame, group_col: str,
                               target_fraction: float,
                               tau: float = 0.5) -> DataFrame:

@@ -190,3 +190,32 @@ def test_pack_greedy_grouped_unique_bins(spark):
     bins_b = set(out[out["g"] == "b"]["bin_id"])
     assert not bins_a & bins_b         # salted id spaces never collide
     assert len(bins_a) == 4            # 20 docs x 100 tok / 512 budget
+
+
+# ------------------------------------------------------- corpus statistics
+
+def test_token_df_signals_hand_oracle(spark):
+    from t_digest_spark.operators.curation import token_df_signals
+    df = _docs(spark, [
+        "a b a",        # doc 0
+        "a c",          # doc 1
+        "",             # doc 2: zero tokens
+    ])
+    # df(a)=2 docs, df(b)=1, df(c)=1
+    out = {r["doc_id"]: r for r in token_df_signals(df).collect()}
+    assert (out[0]["n_tokens"], out[0]["sum_tok_df"], out[0]["n_hapax"]) \
+        == (3, 2 * 2 + 1, 1)          # a,a (df 2) + b (df 1, hapax)
+    assert (out[1]["n_tokens"], out[1]["sum_tok_df"], out[1]["n_hapax"]) \
+        == (2, 2 + 1, 1)
+    assert (out[2]["n_tokens"], out[2]["sum_tok_df"], out[2]["n_hapax"]) \
+        == (0, 0, 0)
+
+
+def test_token_df_null_keep_col_survives(spark):
+    # a NULL lang doc must keep its token counts (join only on doc_id)
+    from t_digest_spark.operators.curation import token_df_signals
+    df = _docs(spark, ["x y", "x"], langs=["en", None])
+    out = {r["doc_id"]: r for r in
+           token_df_signals(df, keep_cols=("lang",)).collect()}
+    assert out[1]["lang"] is None and out[1]["n_tokens"] == 1
+    assert out[1]["sum_tok_df"] == 2      # x appears in both docs
