@@ -151,11 +151,27 @@ def main():
                        "n_chunks": int(agg["last_chunk"]) + 1,
                        "ok": int(agg["last_chunk"]) + 1 == want_chunks}
 
+        t0 = time.perf_counter()
+        from t_digest_spark.operators.curation import token_df_signals
+        tdf = (token_df_signals(docs).agg(
+            F.sum("n_tokens").alias("nt"), F.sum("sum_tok_df").alias("sdf"),
+            F.sum("n_hapax").alias("nh")).collect()[0])
+        dt = time.perf_counter() - t0
+        rep_tokens = rep.agg(F.sum("n_tokens").alias("nt")).collect()[0]["nt"]
+        res["token_df"] = {
+            "wall_s": round(dt, 2), "rows_per_s": round(n / dt),
+            "total_tokens": int(tdf["nt"]),
+            "avg_df": round(tdf["sdf"] / max(tdf["nt"], 1), 1),
+            "hapax_frac": round(tdf["nh"] / max(tdf["nt"], 1), 4),
+            # same tokenizer + cap as repetition_signals: totals must agree
+            "ok": int(tdf["nt"]) == int(rep_tokens)}
+
         docs.unpersist()
         out["results"].append(res)
         print(json.dumps(res), file=sys.stderr)
     out["all_ok"] = all(r[k]["ok"] for r in out["results"]
-                        for k in ("repetition", "temperature", "pii", "pack"))
+                        for k in ("repetition", "temperature", "pii", "pack",
+                                  "token_df"))
     print(json.dumps(out))
     spark.stop()
 
