@@ -2131,13 +2131,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its last driver-green row, (b) never driver-checked, (c) green only in
     # an old round, (d) body unchanged but an operator module underneath it
     # changed this round, (e) fully untouched since its r4-green row.  The
-    # r4 cap checked exactly 50 entries; the 13 that a 50-cap drops below
-    # are therefore exactly the (e) tail — r4-green AND untouched in r5
-    # (pure-Catalyst window/join/histogram/sample/sketch queries whose q_
-    # bodies and operator modules are byte-identical to the r4 snapshot;
-    # the text trio moved INTO the cap when text.py switched to
-    # regexp_count counting forms late in r5, and streaming_dedup_events
-    # joined block (b) when the operator landed).
+    # r4 cap checked exactly 50 entries; everything a 50-cap drops below
+    # is the (e) tail — r4-green AND untouched in r5 (pure-Catalyst
+    # window/join/histogram/sample/sketch queries whose q_ bodies and
+    # operator modules are byte-identical to the r4 snapshot; the text
+    # trio moved INTO the cap when text.py switched to regexp_count
+    # counting forms late in r5, then again when the \s vertical-tab seam
+    # fix landed). Block (b) carries the never-driver-checked late-r5
+    # queries: the five curation gates (repetition/temperature/PII/pack/
+    # token-df), countmin_estimation_users, and streaming_dedup_events —
+    # all builder-green at two SFs and under the nine-axis adversarial
+    # sweep, but a driver row beats a builder claim, so they lead the
+    # never-checked block.
     return {
         # --- (a) q_ body rewritten after its last driver-green row ---
         # late-r5 rewrites (adversarial-axis sweeps): honest estimation-
