@@ -219,3 +219,39 @@ def test_token_df_null_keep_col_survives(spark):
            token_df_signals(df, keep_cols=("lang",)).collect()}
     assert out[1]["lang"] is None and out[1]["n_tokens"] == 1
     assert out[1]["sum_tok_df"] == 2      # x appears in both docs
+
+
+# --------------------------------------------------- streaming composition
+
+def test_pii_scrub_composes_with_streaming(spark):
+    """The stateless curation projections must run unchanged as Structured
+    Streaming transformations (pure per-row codegen: no state, no
+    aggregation) — a production scrubber sits on the ingest stream."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="curation_stream_")
+    in_dir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    pdf = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["mail a@b.io", "ip 10.0.0.1", "clean", None],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        os.path.join(in_dir, "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(os.path.join(in_dir, "*")))
+    assert stream.isStreaming
+    scrubbed = pii_scrub(stream)
+    assert scrubbed.isStreaming        # projection stays streaming-valid
+    q = (scrubbed.writeStream.format("memory").queryName("pii_stream")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in
+               spark.sql("select * from pii_stream").collect()}
+        assert got[0]["n_emails"] == 1 and "<EMAIL>" in got[0]["scrubbed_text"]
+        assert got[1]["n_ipv4"] == 1 and got[3]["n_chars_in"] == 0
+    finally:
+        q.stop()
