@@ -2111,7 +2111,7 @@ def q_pack_chunks(spark, sf_dir):
     at oracle scale, funnel-free on the Spark side. All-integer outputs."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.regexp_count(F.coalesce(F.col("text"), F.lit("")),
-                          F.lit(r"[^ \t\n\r\f]+")).cast("bigint")
+                          F.lit(r"[^ \t\n\x0B\f\r]+")).cast("bigint")
     packed = pack_chunks(
         docs.select("doc_id", "lang", toks.alias("toks")),
         "toks", "doc_id", budget=512)
@@ -2533,7 +2533,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, lang,
                        len(regexp_split_to_array(coalesce(text, ''),
-                                                 '[^ \t\n\r\f]+')) - 1 AS toks
+                                                 '[^ \t\n\x0B\f\r]+')) - 1 AS toks
                 FROM documents
             ),
             c AS (

@@ -136,7 +136,7 @@ def main():
                       "ok": pii["e"] == n and pii["i"] == want_ip}
 
         t0 = time.perf_counter()
-        toks = F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+"))
+        toks = F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"))
         packed = pack_chunks(
             docs.select("doc_id", toks.cast("bigint").alias("toks")),
             "toks", "doc_id", budget=512)

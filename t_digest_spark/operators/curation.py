@@ -54,11 +54,15 @@ from pyspark.sql import functions as F
 
 from t_digest_spark.operators.dedup import CONTENT_PREFIX_CAP, _cap_text
 from t_digest_spark.operators.refine import range_partitioned_cumsum
+from t_digest_spark.operators.text import WS_CLASS
 
-# ASCII-explicit token separator: Java regex \s and RE2 \s disagree on
-# \x0B (vertical tab), so the class is spelled out to keep the Spark
-# expression and the DuckDB oracle byte-identical on exotic whitespace.
-TOKEN_SEP = r"[ \t\n\r\f]+"
+# ONE whitespace definition repo-wide: text.py's WS_CLASS — Java's \s
+# spelled out explicitly ([ \t\n\x0B\f\r]) because RE2 (the DuckDB
+# oracle's engine) excludes \x0B from \s. The explicit class keeps the
+# Spark expression and the SQL oracle scanning the identical language on
+# exotic whitespace, and keeps curation token counts consistent with the
+# text.py token/quality family.
+TOKEN_SEP = WS_CLASS + "+"
 
 # Redaction patterns restricted to the Java-regex/RE2 common dialect
 # (explicit classes, \b with ASCII \w, no lookaround).

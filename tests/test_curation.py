@@ -64,9 +64,11 @@ def test_repetition_prefix_cap_bounds_work(spark):
 
 
 def test_repetition_exotic_whitespace_ascii_class(spark):
-    # \x0B (vertical tab) is NOT a separator (Java-vs-RE2 seam pinned out)
+    # \x0B (vertical tab) IS a separator — WS_CLASS spells out Java's \s
+    # explicitly so the RE2-based oracle scans the same language (the
+    # Java-vs-RE2 seam the ninth adversarial axis caught)
     out = repetition_signals(_docs(spark, ["a\x0bb c"])).collect()[0]
-    assert out["n_tokens"] == 2 and out["max_token"] == 1
+    assert out["n_tokens"] == 3 and out["max_token"] == 1
 
 
 # -------------------------------------------------------- temperature mix
