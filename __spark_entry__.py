@@ -2080,6 +2080,54 @@ def q_pii_scrub_stats(spark, sf_dir):
         .alias("chars_redacted")))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pass, the family's flagship composition:
+    repetition-quality filter -> PII scrub -> temperature-0.5 mix ->
+    concat-and-chunk packing, one deterministic dataflow whose per-lang
+    funnel (docs in -> quality survivors -> sampled -> packed tokens)
+    the DuckDB oracle replays stage for stage. Every stage is the same
+    operator the standalone gates check; the value here is the
+    COMPOSITION: ids/probabilities/chunk layout all stay deterministic
+    through four stages, so the whole pipeline is reproducible
+    engine-to-engine (the property a 100 TB curation run needs to be
+    auditable)."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(docs, keep_cols=("lang",))
+    bad = (((F.col("max_token") * 5 > F.col("n_tokens"))
+            & (F.col("n_tokens") >= 10))
+           | ((F.col("n_dup_lines") * 3 >= F.col("n_lines"))
+              & (F.col("n_lines") >= 3)))
+    surv = docs.join(rep.where(~bad).select("doc_id"), "doc_id")
+    scr = (pii_scrub(surv, keep_cols=("lang",))
+           .select("doc_id", "lang", "scrubbed_text"))
+    samp = temperature_sample(scr, "lang", "doc_id", 0.5, tau=0.5)
+    toks = F.regexp_count(F.col("scrubbed_text"),
+                          F.lit(r"[^ \t\n\x0B\f\r]+")).cast("bigint")
+    packed = pack_chunks(
+        samp.select("doc_id", "lang", toks.alias("toks")),
+        "toks", "doc_id", budget=512)
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_docs"))
+    q = (scr.groupBy("lang").agg(F.count(F.lit(1)).alias("nq"))
+         .select(F.col("lang").alias("__lq__"), "nq"))
+    pk = (packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("toks").alias("tt"),
+        F.sum("chunks_spanned").alias("ss"))
+        .select(F.col("lang").alias("__lp__"), "ns", "tt", "ss"))
+    return (base
+            .join(q, F.col("lang").eqNullSafe(F.col("__lq__")), "left")
+            .join(pk, F.col("lang").eqNullSafe(F.col("__lp__")), "left")
+            .select("lang", "n_in_docs",
+                    F.coalesce("nq", F.lit(0)).cast("long")
+                    .alias("n_quality"),
+                    F.coalesce("ns", F.lit(0)).cast("long")
+                    .alias("n_sampled"),
+                    F.coalesce("tt", F.lit(0)).cast("long")
+                    .alias("total_tokens"),
+                    F.coalesce("ss", F.lit(0)).cast("long")
+                    .alias("sum_chunks")))
+
+
 def q_token_df_by_lang(spark, sf_dir):
     """Corpus-statistics scoring (operators/curation.py token_df_signals):
     per-language mean token document-frequency and hapax fraction — the
@@ -2166,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4-green; r5 finite-money domain rule added to query AND oracle
         "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
+        "curation_pipeline": q_curation_pipeline,
         "repetition_by_lang": q_repetition_by_lang,
         "temperature_mix": q_temperature_mix,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2429,6 +2478,112 @@ def oracle_sql() -> dict[str, str]:
                                   AND n_tokens >= 10 THEN 1 ELSE 0 END)
                         as bigint) AS n_flagged
             FROM joined GROUP BY lang
+        """,
+        "curation_pipeline": rf"""
+            WITH capped AS (
+                SELECT doc_id, lang, substr(text, 1, 100000) AS txt
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       len(string_split(coalesce(txt, ''), chr(10))) AS n_lines,
+                       len(string_split(coalesce(txt, ''), chr(10)))
+                         - len(list_distinct(string_split(coalesce(txt, ''), chr(10)))) AS n_dup_lines
+                FROM capped
+            ),
+            tok0 AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(txt), '{TOKEN_SEP}'),
+                           x -> x <> '')) AS t
+                FROM capped
+            ),
+            per_tok0 AS (
+                SELECT doc_id, t, count(*) AS c FROM tok0 GROUP BY doc_id, t
+            ),
+            per_doc0 AS (
+                SELECT doc_id, max(c) AS max_token, sum(c) AS n_tokens
+                FROM per_tok0 GROUP BY doc_id
+            ),
+            repsig AS (
+                SELECT l.doc_id, l.n_lines, l.n_dup_lines,
+                       coalesce(p.max_token, 0) AS max_token,
+                       coalesce(p.n_tokens, 0) AS n_tokens
+                FROM lines l LEFT JOIN per_doc0 p USING (doc_id)
+            ),
+            surv AS (
+                SELECT d.doc_id, d.lang, d.text
+                FROM documents d JOIN repsig r USING (doc_id)
+                WHERE NOT ((r.max_token * 5 > r.n_tokens AND r.n_tokens >= 10)
+                           OR (r.n_dup_lines * 3 >= r.n_lines
+                               AND r.n_lines >= 3))
+            ),
+            scrub AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(coalesce(text, ''),
+                           '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{IPV4_RE}', '<IP>', 'g') AS stext
+                FROM surv
+            ),
+            counts AS (
+                SELECT lang, count(*) AS n_in,
+                       cast(floor(sqrt(cast(count(*) as double))
+                                  * 1000000000.0) as bigint) AS wq
+                FROM scrub GROUP BY lang
+            ),
+            tot AS (SELECT sum(n_in) AS n, sum(wq) AS swq FROM counts),
+            probs AS (
+                SELECT lang,
+                       least(1.0, (0.5 * cast(n as double) * cast(wq as double))
+                                  / (cast(swq as double)
+                                     * cast(n_in as double))) AS p_keep
+                FROM counts, tot
+            ),
+            samp AS (
+                SELECT s.doc_id, s.lang, s.stext
+                FROM scrub s
+                JOIN probs p ON (s.lang IS NOT DISTINCT FROM p.lang)
+                WHERE p.p_keep >= 1.0
+                   OR substr(md5(CASE WHEN s.doc_id IS NULL THEN 'null:'
+                                      ELSE 'k:' || cast(s.doc_id as varchar)
+                                 END), 1, 15)
+                      < lower(lpad(to_hex(cast(floor(p.p_keep
+                                   * 1152921504606846976.0) as bigint)),
+                                   15, '0'))
+            ),
+            toks AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(stext,
+                           '[^ \t\n\x0B\f\r]+')) - 1 AS t
+                FROM samp
+            ),
+            cum AS (
+                SELECT doc_id, lang, t,
+                       sum(t) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - t AS before
+                FROM toks
+            ),
+            packed AS (
+                SELECT lang, t,
+                       CASE WHEN t > 0
+                            THEN (before + t - 1) // 512 - before // 512 + 1
+                            ELSE 0 END AS sp
+                FROM cum
+            ),
+            base AS (SELECT lang, count(*) AS n_in_docs
+                     FROM documents GROUP BY lang),
+            qq AS (SELECT lang, count(*) AS nq FROM scrub GROUP BY lang),
+            pk AS (SELECT lang, count(*) AS ns, sum(t) AS tt, sum(sp) AS ss
+                   FROM packed GROUP BY lang)
+            SELECT b.lang, cast(b.n_in_docs as bigint) AS n_in_docs,
+                   cast(coalesce(qq.nq, 0) as bigint) AS n_quality,
+                   cast(coalesce(pk.ns, 0) as bigint) AS n_sampled,
+                   cast(coalesce(pk.tt, 0) as bigint) AS total_tokens,
+                   cast(coalesce(pk.ss, 0) as bigint) AS sum_chunks
+            FROM base b
+            LEFT JOIN qq ON (b.lang IS NOT DISTINCT FROM qq.lang)
+            LEFT JOIN pk ON (b.lang IS NOT DISTINCT FROM pk.lang)
         """,
         "token_df_by_lang": rf"""
             WITH capped AS (
