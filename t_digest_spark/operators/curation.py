@@ -269,7 +269,8 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
 
 def pack_chunks(df: DataFrame, token_col: str, order_col: str,
-                budget: int, num_chunks: int = 64) -> DataFrame:
+                budget: int, num_chunks: int = 64,
+                part_cols: tuple = ()) -> DataFrame:
     """Concat-and-chunk packing: documents laid end-to-end in ``order_col``
     order are cut into fixed ``budget``-token chunks (the GPT-style packing
     that splits documents at chunk boundaries). Adds
@@ -282,10 +283,17 @@ def pack_chunks(df: DataFrame, token_col: str, order_col: str,
     ``tokens_before`` is an EXCLUSIVE running sum computed with the
     range-partitioned two-pass cumulative sum (refine.py) — a plain
     ``Window.orderBy(order_col)`` would funnel the whole corpus through
-    one task. All integer arithmetic; ``order_col`` must be unique for a
-    deterministic layout (ties would make tokens_before order-dependent).
+    one task. All integer arithmetic; ``order_col`` must be unique within
+    a partition group for a deterministic layout (ties would make
+    tokens_before order-dependent).
+
+    ``part_cols`` packs each group into its OWN chunk sequence (chunk
+    indices restart per group — per-shard/per-date packing, the realistic
+    deployment shape: a 100 TB run packs within ingest shards so layout
+    is insensitive to which shards exist). Empty = one global sequence.
     """
     cum = range_partitioned_cumsum(df, order_col, [token_col],
+                                   part_cols=list(part_cols),
                                    num_chunks=num_chunks)
     before = (F.col(f"{token_col}_cum") - F.col(token_col)).cast("bigint")
     t = F.col(token_col).cast("bigint")

@@ -103,7 +103,22 @@ def range_partitioned_cumsum(
 
     win = (Window.partitionBy(*part_cols, "__chunk__").orderBy(order_col)
            .rowsBetween(Window.unboundedPreceding, 0))
-    out = dfc.join(F.broadcast(off), part_cols + ["__chunk__"])
+    if part_cols:
+        # NULL-safe join back: a NULL group key is a real group (GROUP BY
+        # keeps it, the window partitions on it) — a plain equality join
+        # here would silently drop every NULL-group row from the output
+        renames = {c: f"__p{i}__" for i, c in enumerate(part_cols)}
+        off_r = off.select(
+            *[F.col(c).alias(renames[c]) for c in part_cols],
+            F.col("__chunk__").alias("__ck__"),
+            *[f"__off_{c}__" for c in sum_cols])
+        cond = F.col("__chunk__") == F.col("__ck__")
+        for c in part_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(renames[c]))
+        out = dfc.join(F.broadcast(off_r), cond).drop(
+            "__ck__", *renames.values())
+    else:
+        out = dfc.join(F.broadcast(off), ["__chunk__"])
     for c in sum_cols:
         out = out.withColumn(
             f"{c}_cum", F.sum(c).over(win) + F.col(f"__off_{c}__"))

@@ -257,3 +257,21 @@ def test_pii_scrub_composes_with_streaming(spark):
         assert got[1]["n_ipv4"] == 1 and got[3]["n_chars_in"] == 0
     finally:
         q.stop()
+
+
+def test_pack_chunks_per_group_restart(spark):
+    # per-shard packing: chunk indices restart per group, NULL group kept
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(8),
+        "g": ["a"] * 3 + ["b"] * 3 + [None] * 2,
+        "t": [300] * 8,
+    })
+    out = (pack_chunks(spark.createDataFrame(pdf), "t", "doc_id",
+                       budget=512, part_cols=("g",))
+           .orderBy("doc_id").toPandas())
+    assert len(out) == 8                      # NULL group rows survive
+    for g in ("a", "b"):
+        grp = out[out["g"] == g]
+        assert grp["first_chunk"].tolist() == [0, 0, 1]   # restarts at 0
+    nul = out[out["g"].isna()]
+    assert nul["first_chunk"].tolist() == [0, 0]
