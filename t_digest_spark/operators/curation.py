@@ -91,30 +91,43 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                               single most frequent token (C4's top-token
                               fraction numerator, integral).
 
-    Line features are array-local (size/array_distinct over the capped
-    prefix, codegen). Token features take the distributed path: explode ->
-    count per (doc, token) -> max/sum per doc, both map-side combinable,
-    then a left join back so zero-token documents keep an explicit 0 row
-    rather than vanishing with the explode.
+    EVERY feature here is row-local, and the plan is kept row-local too:
+    lines via size/array_distinct, the token mode via sort + run-length
+    fold (array_sort then one Catalyst `aggregate` pass tracking the
+    longest equal run) — ZERO shuffle, no Python, no join. The first cut
+    of this operator used explode -> two groupBys -> join back; that
+    ships every token occurrence through two exchanges to compute numbers
+    each row already determines (measured 1.8x slower at 1M docs,
+    min-of-2 same session — and its exchanges scale with token count
+    where this form scales with rows). The
+    O(n log n) per-row sort is bounded by the content cap. Distributed
+    token statistics that genuinely need cross-document state live in
+    ``token_df_signals``.
     """
     capped = _cap_text(df.select(id_col, text_col, *keep_cols),
                        text_col, max_chars)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(txt, "\n", -1)
-    base = capped.select(
+    toks = _tokens(F.col(text_col))
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"))
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + F.lit(1))
+               .otherwise(F.lit(1)).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    max_tok = F.aggregate(srt, init, step, lambda acc: acc["best"])
+    return capped.select(
         id_col, *keep_cols,
-        F.col(text_col).alias("__txt__"),
         F.size(lines).alias("n_lines"),
         (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+        F.coalesce(max_tok, zero).alias("max_token"),
+        F.coalesce(F.size(toks).cast("long"), zero).alias("n_tokens"),
     )
-    toks = base.select(id_col, F.explode(_tokens(F.col("__txt__"))).alias("tok"))
-    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_tok.groupBy(id_col).agg(
-        F.max("c").alias("max_token"), F.sum("c").alias("n_tokens"))
-    return (base.drop("__txt__")
-            .join(per_doc, on=id_col, how="left")
-            .withColumn("max_token", F.coalesce("max_token", F.lit(0)))
-            .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0))))
 
 
 def token_df_signals(df: DataFrame, text_col: str = "text",

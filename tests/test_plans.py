@@ -335,14 +335,15 @@ def test_temperature_sample_is_broadcast_filter(spark):
     assert "pythonUDF" not in plan.lower()
 
 
-def test_repetition_signals_combine_and_pruning(spark):
-    """repetition_signals' token path must partially aggregate before both
-    exchanges (map-side combine on (doc, token) then doc) and read only
-    the needed columns."""
+def test_repetition_signals_shuffle_free_and_pruned(spark):
+    """repetition_signals is row-local end to end: the sort+run-length
+    fold replaced the explode->groupBy->join form, so the plan must have
+    NO exchange, no join, no Python — one pruned scan and a projection."""
     from t_digest_spark.operators.curation import repetition_signals
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(repetition_signals(docs, keep_cols=("lang",)))
-    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "pythonUDF" not in plan.lower()
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
 
 
