@@ -2090,7 +2090,12 @@ def q_curation_pipeline(spark, sf_dir):
     COMPOSITION: ids/probabilities/chunk layout all stay deterministic
     through four stages, so the whole pipeline is reproducible
     engine-to-engine (the property a 100 TB curation run needs to be
-    auditable)."""
+    auditable). Plan note: as one lazy DAG the survivor subtree is
+    re-derived per consuming branch (acceptable at gate scale, ~3.4s at
+    sf0.1); a production run materializes each stage's output to storage
+    between stages (the checkpoint.py pattern) — corpus-sized caches are
+    not the 100 TB answer, stage parquet is, and determinism makes the
+    materialized boundary exactly reproducible."""
     docs = _t(spark, sf_dir, "documents")
     rep = repetition_signals(docs, keep_cols=("lang",))
     bad = (((F.col("max_token") * 5 > F.col("n_tokens"))

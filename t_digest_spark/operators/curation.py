@@ -324,11 +324,14 @@ def pack_greedy(df: DataFrame, token_col: str, order_col: str,
     """Whole-document first-fit packing: walk each group in ``order_col``
     order, open a new bin whenever the next document does not fit, never
     split a document (documents longer than ``budget`` get a bin alone).
-    Adds ``bin_id`` (unique across groups: xxhash64 of group salts the
-    id space) — an applyInPandas stage because the running
-    reset-on-overflow accumulator has no closed window form. Per-group
-    sequential by construction; parallelism comes from the group count, so
-    group by shard/date at scale, not by a constant."""
+    Adds ``bin_id`` (unique across groups: an md5-derived salt of the
+    group value offsets each group's id space — deterministic across
+    runs, engines, and library versions) — an applyInPandas stage because
+    the running reset-on-overflow accumulator has no closed window form.
+    Per-group sequential by construction; parallelism comes from the
+    group count, so group by shard/date at scale, not by a constant."""
+    import hashlib
+
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -343,8 +346,7 @@ def pack_greedy(df: DataFrame, token_col: str, order_col: str,
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         g = pdf[gcol].iloc[0]
         base = 0 if group_col is None else (
-            int(pd.util.hash_pandas_object(
-                pd.Series([str(g)]), index=False).iloc[0]) % (1 << 40)) << 20
+            int(hashlib.md5(repr(g).encode()).hexdigest()[:10], 16) << 20)
         bins, fills = [], []
         bin_id, fill = base, 0
         for t in pdf[token_col].fillna(0).astype("int64"):
