@@ -137,3 +137,38 @@ def test_pack_matches_python(spark, seed):
         assert out["first_chunk"].iloc[i] == first
         assert out["chunks_spanned"].iloc[i] == span
         before += t
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_temperature_sample_matches_python_md5(spark, seed):
+    """The full keep rule — quantized weights, probability arithmetic, md5
+    hex threshold — recomputed in pure Python must select the identical
+    row set (the determinism the DuckDB oracle also replays)."""
+    import hashlib
+
+    from t_digest_spark.operators.curation import temperature_sample
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    langs = [None if rng.random() < 0.05
+             else ("en", "de", "sw")[int(rng.integers(0, 3))]
+             for _ in range(n)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n), "text": ["x"] * n, "lang": langs}))
+    frac = 0.37
+    got = sorted(r["doc_id"] for r in
+                 temperature_sample(df, "lang", "doc_id", frac).collect())
+
+    counts = Counter(langs)
+    wq = {g: math.floor(math.sqrt(float(c)) * 1e9)
+          for g, c in counts.items()}
+    swq = sum(wq.values())
+    p = {g: min(1.0, frac * float(n) * float(wq[g]) / (float(swq) * float(c)))
+         for g, c in counts.items()}
+    want = []
+    for i, g in enumerate(langs):
+        thr = format(math.floor(p[g] * float(1 << 60)), "x").rjust(15, "0")
+        h = hashlib.md5(f"k:{i}".encode()).hexdigest()[:15]
+        if p[g] >= 1.0 or h < thr:
+            want.append(i)
+    assert got == want
