@@ -1,7 +1,8 @@
 """Training-data curation operators: repetition quality signals,
-temperature-based corpus mixing, PII scrubbing, and sequence packing.
+corpus-statistics scoring, temperature-based corpus mixing, PII
+scrubbing, and sequence packing.
 
-These are the four curation stages a large-scale LLM data pipeline runs
+These are the curation stages a large-scale LLM data pipeline runs
 between dedup and training that the rest of the operator set did not yet
 cover (reference scope: the t-digest repo has no analog — these extend the
 engine's pipeline surface, same tier as dedup.py/text.py/sample.py):
@@ -9,6 +10,9 @@ engine's pipeline surface, same tier as dedup.py/text.py/sample.py):
   * ``repetition_signals`` — Gopher/C4-style within-document repetition
     features (duplicate-line fraction, top-token fraction) used to drop
     boilerplate and looping generations;
+  * ``token_df_signals`` — corpus-statistics scoring (per-token document
+    frequency summed per doc, hapax mass): the integer-exact perplexity
+    proxy for rare/gibberish-vs-stereotypical ranking;
   * ``temperature_sample`` — per-group sampling probabilities
     p_g = min(1, f·N·c_g^tau / (sum_h c_h^tau · c_g)) that flatten a skewed
     group (language/source/domain) distribution toward uniform as tau -> 0,
