@@ -47,6 +47,7 @@ from t_digest_spark.operators.similarity import (brute_force_topk,
 from t_digest_spark.operators.curation import (EMAIL_RE, IPV4_RE, TOKEN_SEP,
                                                pack_chunks, pii_scrub,
                                                repetition_signals,
+                                               strip_boilerplate,
                                                temperature_probabilities,
                                                temperature_sample,
                                                token_df_signals)
@@ -2080,6 +2081,33 @@ def q_pii_scrub_stats(spark, sf_dir):
         .alias("chars_redacted")))
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Cross-document boilerplate-line removal (operators/curation.py
+    strip_boilerplate, the C4/CCNet rule) over text augmented with
+    planted boilerplate: a newsletter line appended to EVERY doc and a
+    copyright line to every second doc — both cross the min_df=3
+    threshold and must be removed everywhere, while organic lines keep
+    their natural document frequency (exact-duplicate documents in the
+    adversarial tables push their lines over the threshold identically
+    in both engines). Integer surgery accounting; line DF and the
+    reassembly order are replayed exactly by the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\nSubscribe to our newsletter today"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\n(c) 2026 Example Corp")).otherwise(F.lit("")))
+    stripped = strip_boilerplate(
+        docs.select("doc_id", "lang", aug.alias("text")),
+        min_df=3, keep_cols=("lang",))
+    return (stripped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_lines_in") - F.col("n_lines_kept")).cast("long")
+        .alias("lines_removed"),
+        F.sum("chars_in").cast("long").alias("total_chars_in"),
+        F.sum("chars_out").cast("long").alias("total_chars_out")))
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end curation pass, the family's flagship composition:
     repetition-quality filter -> PII scrub -> temperature-0.5 mix ->
@@ -2220,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         # --- (b) new this round, never driver-checked ---
         "curation_pipeline": q_curation_pipeline,
+        "boilerplate_strip": q_boilerplate_strip,
         "repetition_by_lang": q_repetition_by_lang,
         "temperature_mix": q_temperature_mix,
         "pii_scrub_stats": q_pii_scrub_stats,
@@ -2483,6 +2512,57 @@ def oracle_sql() -> dict[str, str]:
                                   AND n_tokens >= 10 THEN 1 ELSE 0 END)
                         as bigint) AS n_flagged
             FROM joined GROUP BY lang
+        """,
+        "boilerplate_strip": """
+            WITH aug AS (
+                SELECT doc_id, lang,
+                       coalesce(text, '') || chr(10)
+                         || 'Subscribe to our newsletter today'
+                         || CASE WHEN doc_id % 2 = 0
+                                 THEN chr(10) || '(c) 2026 Example Corp'
+                                 ELSE '' END AS t
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, u.pos AS pos, u.line AS line
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 string_split(t, chr(10)),
+                                 (x, i) -> {'pos': i, 'line': x})) AS u
+                      FROM aug)
+            ),
+            ldf AS (
+                SELECT line, count(*) AS c
+                FROM (SELECT DISTINCT doc_id, line FROM ex) GROUP BY line
+            ),
+            kept AS (
+                SELECT e.doc_id, e.pos, e.line
+                FROM ex e JOIN ldf ON e.line = ldf.line
+                WHERE ldf.c < 3
+            ),
+            re AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            base AS (
+                SELECT doc_id, lang,
+                       len(string_split(t, chr(10))) AS n_in,
+                       length(t) AS chars_in
+                FROM aug
+            ),
+            j AS (
+                SELECT b.lang, b.n_in, b.chars_in,
+                       coalesce(r.n_kept, 0) AS n_kept,
+                       coalesce(length(r.clean_text), 0) AS chars_out
+                FROM base b LEFT JOIN re r USING (doc_id)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_in - n_kept) as bigint) AS lines_removed,
+                   cast(sum(chars_in) as bigint) AS total_chars_in,
+                   cast(sum(chars_out) as bigint) AS total_chars_out
+            FROM j GROUP BY lang
         """,
         "curation_pipeline": rf"""
             WITH capped AS (

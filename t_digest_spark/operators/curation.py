@@ -187,6 +187,52 @@ def token_df_signals(df: DataFrame, text_col: str = "text",
     return out
 
 
+def strip_boilerplate(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_df: int = 2,
+                      keep_cols: tuple = ()) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/CCNet line rule): drop
+    every line that appears verbatim in >= ``min_df`` documents (cookie
+    banners, footers, license headers), keep the rest in original order.
+
+    Shape: posexplode lines -> line document-frequency from the distinct
+    (doc, line) pairs (two map-side-combinable aggregates) -> join back
+    on line (frequent lines are a probe-side hot key — AQE skew-join
+    territory, exactly like token_df_signals' vocabulary join) -> filter
+    -> reassemble per doc with an order-pinned collect
+    (array_sort(collect_list(struct(pos, line)))). Reassembly is exact
+    line surgery, so this stays FULL-content like dedup_exact, not
+    prefix-capped. Documents whose every line is boilerplate come back
+    as empty text, not dropped rows (left join on id alone; keep_cols
+    ride the base side so NULL group values survive).
+
+    Output: id, keep_cols, clean_text, n_lines_in, n_lines_kept,
+    chars_in, chars_out — integer surgery accounting for the gate.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n", -1)
+    base = df.select(id_col, *keep_cols,
+                     F.size(lines).alias("n_lines_in"),
+                     F.length(txt).cast("long").alias("chars_in"))
+    ex = df.select(id_col, F.posexplode(lines).alias("pos", "line"))
+    linedf = (ex.select(id_col, "line").distinct()
+              .groupBy("line").agg(F.count(F.lit(1)).alias("__ldf__")))
+    kept = (ex.join(linedf, "line")
+            .where(F.col("__ldf__") < min_df))
+    re_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"))
+    out = (base.join(re_doc, on=id_col, how="left")
+           .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+           .withColumn("n_lines_kept",
+                       F.coalesce("n_lines_kept", F.lit(0)).cast("long")))
+    return out.withColumn("chars_out",
+                          F.length("clean_text").cast("long"))
+
+
 def temperature_probabilities(df: DataFrame, group_col: str,
                               target_fraction: float,
                               tau: float = 0.5) -> DataFrame:

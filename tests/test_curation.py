@@ -275,3 +275,46 @@ def test_pack_chunks_per_group_restart(spark):
         assert grp["first_chunk"].tolist() == [0, 0, 1]   # restarts at 0
     nul = out[out["g"].isna()]
     assert nul["first_chunk"].tolist() == [0, 0]
+
+
+# --------------------------------------------------------- boilerplate
+
+def test_strip_boilerplate_hand_oracle(spark):
+    from t_digest_spark.operators.curation import strip_boilerplate
+    df = _docs(spark, [
+        "keep me\nFOOTER\nalso keep",
+        "other text\nFOOTER",
+        "third\nFOOTER\nmore",
+        "unique only",
+        None,
+    ])
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate(df, min_df=3).collect()}
+    # FOOTER appears in 3 docs -> removed; everything else kept in order
+    assert out[0]["clean_text"] == "keep me\nalso keep"
+    assert out[1]["clean_text"] == "other text"
+    assert out[2]["clean_text"] == "third\nmore"
+    assert out[3]["clean_text"] == "unique only"
+    assert out[0]["n_lines_in"] == 3 and out[0]["n_lines_kept"] == 2
+    # NULL text -> one empty line, df(' ') of '' is < 3 here -> kept
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_in"] == 1
+    for r in out.values():
+        assert r["chars_out"] == len(r["clean_text"])
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    from t_digest_spark.operators.curation import strip_boilerplate
+    df = _docs(spark, ["SPAM", "SPAM", "SPAM"])
+    out = strip_boilerplate(df, min_df=2).collect()
+    assert all(r["clean_text"] == "" and r["n_lines_kept"] == 0
+               for r in out)
+    assert len(out) == 3                     # rows survive as empty docs
+
+
+def test_strip_boilerplate_df_counts_docs_not_occurrences(spark):
+    from t_digest_spark.operators.curation import strip_boilerplate
+    # one doc repeating a line 5 times: document frequency is 1, kept
+    df = _docs(spark, ["x\nx\nx\nx\nx", "y"])
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate(df, min_df=2).collect()}
+    assert out[0]["n_lines_kept"] == 5
