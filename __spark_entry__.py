@@ -2219,11 +2219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trio moved INTO the cap when text.py switched to regexp_count
     # counting forms late in r5, then again when the \s vertical-tab seam
     # fix landed). Block (b) carries the never-driver-checked late-r5
-    # queries: the five curation gates (repetition/temperature/PII/pack/
-    # token-df), countmin_estimation_users, and streaming_dedup_events —
-    # all builder-green at two SFs and under the nine-axis adversarial
-    # sweep, but a driver row beats a builder claim, so they lead the
-    # never-checked block.
+    # queries: the curation family (pipeline/boilerplate/repetition/
+    # temperature/PII/pack/token-df), countmin_estimation_users, and
+    # streaming_dedup_events — all builder-green at two SFs and under
+    # the nine-axis adversarial sweep, but a driver row beats a builder
+    # claim, so they lead the never-checked block.
     return {
         # --- (a) q_ body rewritten after its last driver-green row ---
         # late-r5 rewrites (adversarial-axis sweeps): honest estimation-
