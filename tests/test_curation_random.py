@@ -172,3 +172,22 @@ def test_temperature_sample_matches_python_md5(spark, seed):
         if p[g] >= 1.0 or h < thr:
             want.append(i)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_strip_boilerplate_matches_python(spark, seed):
+    from t_digest_spark.operators.curation import strip_boilerplate
+    texts = _corpus(seed)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = {r["doc_id"]: r for r in
+           strip_boilerplate(df, min_df=2).collect()}
+    ldf = Counter()
+    for tx in texts:
+        ldf.update(set((tx or "").split("\n")))
+    for i, tx in enumerate(texts):
+        lines = (tx or "").split("\n")
+        kept = [l for l in lines if ldf[l] < 2]
+        assert got[i]["clean_text"] == "\n".join(kept), (seed, i, tx)
+        assert got[i]["n_lines_in"] == len(lines)
+        assert got[i]["n_lines_kept"] == len(kept)

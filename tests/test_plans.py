@@ -354,3 +354,14 @@ def test_pii_scrub_is_single_projection(spark):
     plan = _plan(pii_scrub(docs))
     assert "Exchange" not in plan
     assert "Scan parquet" in plan
+
+
+def test_strip_boilerplate_plan_shape(spark):
+    """strip_boilerplate: line-DF aggregates partially combine map-side,
+    the reassembly is an aggregate (no window funnel), and no Python."""
+    from t_digest_spark.operators.curation import strip_boilerplate
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(strip_boilerplate(docs, keep_cols=("lang",)))
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "pythonUDF" not in plan.lower()
