@@ -166,12 +166,34 @@ def main():
             # same tokenizer + cap as repetition_signals: totals must agree
             "ok": int(tdf["nt"]) == int(rep_tokens)}
 
+        t0 = time.perf_counter()
+        from t_digest_spark.operators.curation import strip_boilerplate
+        aug = docs.select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit("\nSubscribe to our newsletter")).alias("text"))
+        bp = (strip_boilerplate(aug, min_df=3).agg(
+            F.sum(F.col("n_lines_in") - F.col("n_lines_kept")).alias("rm"),
+            F.sum("chars_in").alias("ci"), F.sum("chars_out").alias("co"))
+            .collect()[0])
+        dt = time.perf_counter() - t0
+        # closed-form removals: the planted footer in every doc (df = n),
+        # PLUS 3 lines per repetition-plant doc — their 'looploop' lines
+        # are IDENTICAL across all n/50 plant docs (df = n/50 >= 3) except
+        # each plant's final line, which the per-doc email made unique
+        want_rm = n + 3 * len(range(0, n, REP_EVERY))
+        res["boilerplate"] = {
+            "wall_s": round(dt, 2), "rows_per_s": round(n / dt),
+            "lines_removed": int(bp["rm"]), "expected": want_rm,
+            "chars_delta": int(bp["ci"] - bp["co"]),
+            "ok": int(bp["rm"]) == want_rm}
+
         docs.unpersist()
         out["results"].append(res)
         print(json.dumps(res), file=sys.stderr)
     out["all_ok"] = all(r[k]["ok"] for r in out["results"]
                         for k in ("repetition", "temperature", "pii", "pack",
-                                  "token_df"))
+                                  "token_df", "boilerplate"))
     print(json.dumps(out))
     spark.stop()
 
