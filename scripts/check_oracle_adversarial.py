@@ -274,6 +274,11 @@ def perturb_documents(path: str) -> None:
         "a\x0bb 1.2.3.4\x0bc@d.ee",                     # vertical-tab seams
         ("dup line\n" * 40) + ("tok " * 200),           # repetition saturation
         "K" * 30_000,                                   # one giant token
+        "win line\r\nwin line\r\nlast",                 # CRLF endings: lines
+                                                        # keep their \r, dup
+                                                        # detection sees
+                                                        # 'win line\r' twice
+        "mixed\nunix\r\nwin\rbare-cr",                  # mixed EOL conventions
     ]
     for i, tx in enumerate(pii):
         rows.append(dict(doc_id=nid + 30 + i, text=tx, lang="en",
